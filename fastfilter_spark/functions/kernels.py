@@ -13,11 +13,13 @@ reference C library (FastFilter/xor_singleheader):
                                (portable split-word schoolbook recipe)
 - fuse index triple         -> /root/reference/include/binaryfusefilter.h:154-175
 
-All array kernels take/return ``np.uint64`` arrays.  Every constant is an
-explicit ``np.uint64``; numpy silently promotes mixed int/uint64 arithmetic
-to float64, which would corrupt the hashes, so nothing here may use a bare
-Python int inside an expression.  Overflow is intentional two's-complement
-wraparound (suppressed warnings).
+All array kernels take/return ``np.uint64`` arrays.  Scalar constants are
+plain Python ints: numpy adapts an int literal to the array's uint64 dtype
+(unlike a mixed int64/uint64 pair, which would promote to float64 and
+corrupt the hashes), and `array op python_int` takes a measurably faster
+ufunc path on this host than `array op np.uint64(x)`.  Overflow is
+intentional two's-complement wraparound.  In-place ops keep the hot paths
+to one temporary per kernel.
 """
 
 from __future__ import annotations
@@ -27,15 +29,6 @@ import numpy as np
 U64 = np.uint64
 MASK64 = 0xFFFFFFFFFFFFFFFF
 MASK32 = 0xFFFFFFFF
-
-_MURMUR_C1 = U64(0xFF51AFD7ED558CCD)
-_MURMUR_C2 = U64(0xC4CEB9FE1A85EC53)
-_SHIFT_33 = U64(33)
-_SHIFT_32 = U64(32)
-_SHIFT_18 = U64(18)
-_SHIFT_36 = U64(36)
-_LOW36_MASK = U64((1 << 36) - 1)
-_LOW32 = U64(0xFFFFFFFF)
 
 # splitmix64 chain constants (xorfilter.h:77-82)
 SPLITMIX_GAMMA = 0x9E3779B97F4A7C15
@@ -51,23 +44,21 @@ XOR_SORT_ITERATIONS = 10
 XOR_MAX_ITERATIONS = 100
 
 
-def murmur64(h: np.ndarray) -> np.ndarray:
+def murmur64(h: np.ndarray, copy: bool = True) -> np.ndarray:
     """murmur3 64-bit finalizer over a uint64 array (xorfilter.h:46-53)."""
-    h = np.asarray(h, dtype=U64)
-    with np.errstate(over="ignore"):
-        h = h ^ (h >> _SHIFT_33)
-        h = h * _MURMUR_C1
-        h = h ^ (h >> _SHIFT_33)
-        h = h * _MURMUR_C2
-        h = h ^ (h >> _SHIFT_33)
+    h = np.array(h, dtype=U64, copy=copy)
+    h ^= h >> 33
+    h *= 0xFF51AFD7ED558CCD
+    h ^= h >> 33
+    h *= 0xC4CEB9FE1A85EC53
+    h ^= h >> 33
     return h
 
 
 def mix_split(keys: np.ndarray, seed: int) -> np.ndarray:
     """Seeded hash: murmur64(key + seed) (xorfilter.h:55-57)."""
     keys = np.asarray(keys, dtype=U64)
-    with np.errstate(over="ignore"):
-        return murmur64(keys + U64(seed & MASK64))
+    return murmur64(keys + (seed & MASK64), copy=False)
 
 
 def rotl64(h: np.ndarray, c: int) -> np.ndarray:
@@ -75,9 +66,8 @@ def rotl64(h: np.ndarray, c: int) -> np.ndarray:
     h = np.asarray(h, dtype=U64)
     c &= 63
     if c == 0:
-        return h
-    with np.errstate(over="ignore"):
-        return (h << U64(c)) | (h >> U64(64 - c))
+        return h.copy()
+    return (h << c) | (h >> (64 - c))
 
 
 def reduce32(hash32: np.ndarray, n: int) -> np.ndarray:
@@ -86,18 +76,17 @@ def reduce32(hash32: np.ndarray, n: int) -> np.ndarray:
     ``hash32`` must already be truncated to 32 bits; returns uint64 indices
     in [0, n).
     """
-    h = np.asarray(hash32, dtype=U64) & _LOW32
-    with np.errstate(over="ignore"):
-        return (h * U64(n & MASK32)) >> _SHIFT_32
+    h = np.asarray(hash32, dtype=U64) & MASK32
+    h *= (n & MASK32)
+    h >>= 32
+    return h
 
 
 def fingerprint64(h: np.ndarray) -> np.ndarray:
-    """Fold a 64-bit hash to a fingerprint source: h ^ (h >> 32) (xorfilter.h:68-70).
-
-    Caller truncates to the filter's fingerprint width.
-    """
+    """Fold a 64-bit hash to a fingerprint source: h ^ (h >> 32)
+    (xorfilter.h:68-70).  Caller truncates to the fingerprint width."""
     h = np.asarray(h, dtype=U64)
-    return h ^ (h >> _SHIFT_32)
+    return h ^ (h >> 32)
 
 
 def splitmix64(state: int) -> tuple[int, int]:
@@ -116,17 +105,16 @@ def splitmix64(state: int) -> tuple[int, int]:
 
 
 def splitmix64_stream(seed: int, n: int) -> np.ndarray:
-    """Vectorized n-step splitmix64 stream from ``seed`` (test-data generator).
-
-    Equivalent to calling :func:`splitmix64` n times; vectorized by noting
-    state_i = seed + (i+1)*gamma (mod 2^64).
-    """
-    with np.errstate(over="ignore"):
-        i = np.arange(1, n + 1, dtype=U64)
-        z = U64(seed & MASK64) + i * U64(SPLITMIX_GAMMA)
-        z = (z ^ (z >> U64(30))) * U64(_SM_C1)
-        z = (z ^ (z >> U64(27))) * U64(_SM_C2)
-        return z ^ (z >> U64(31))
+    """Vectorized n-step splitmix64 stream from ``seed`` (test-data
+    generator).  Equivalent to calling :func:`splitmix64` n times; state_i =
+    seed + (i+1)*gamma (mod 2^64)."""
+    z = np.arange(1, n + 1, dtype=U64)
+    z *= SPLITMIX_GAMMA
+    z += (seed & MASK64)
+    z = (z ^ (z >> 30)) * _SM_C1
+    z = (z ^ (z >> 27)) * _SM_C2
+    z ^= z >> 31
+    return z
 
 
 def mulhi(a: np.ndarray, b: int) -> np.ndarray:
@@ -138,25 +126,43 @@ def mulhi(a: np.ndarray, b: int) -> np.ndarray:
     """
     a = np.asarray(a, dtype=U64)
     b &= MASK64
-    b0 = U64(b & MASK32)
-    b1 = U64(b >> 32)
-    with np.errstate(over="ignore"):
-        a0 = a & _LOW32
-        a1 = a >> _SHIFT_32
-        p11 = a1 * b1
-        p01 = a0 * b1
-        p10 = a1 * b0
-        p00 = a0 * b0
-        middle = p10 + (p00 >> _SHIFT_32) + (p01 & _LOW32)
-        return p11 + (middle >> _SHIFT_32) + (p01 >> _SHIFT_32)
+    if b < (1 << 32):
+        # fast path (the fuse SegmentCountLength always fits 32 bits):
+        # hi = (a1*b + ((a0*b) >> 32)) >> 32, both products < 2^64
+        a0 = a & MASK32
+        a0 *= b
+        a0 >>= 32
+        a1 = a >> 32
+        a1 *= b
+        a1 += a0
+        a1 >>= 32
+        return a1
+    b0 = b & MASK32
+    b1 = b >> 32
+    a0 = a & MASK32
+    a1 = a >> 32
+    p01 = a0 * b1
+    # middle = a1*b0 + (a0*b0 >> 32) + low32(p01)
+    mid = a1 * b0
+    a0 *= b0          # a0 := p00
+    a0 >>= 32
+    mid += a0
+    mid += p01 & MASK32
+    # high = a1*b1 + (middle >> 32) + (p01 >> 32)
+    a1 *= b1
+    mid >>= 32
+    a1 += mid
+    p01 >>= 32
+    a1 += p01
+    return a1
 
 
 def xor_index_triple(hashes: np.ndarray, block_length: int):
     """xor-filter index triple (xorfilter.h:198-210): three block-local
     indices in [0, blockLength) from rotations 0/21/42 of the mixed hash."""
-    h0 = reduce32(hashes & _LOW32, block_length)
-    h1 = reduce32(rotl64(hashes, 21) & _LOW32, block_length)
-    h2 = reduce32(rotl64(hashes, 42) & _LOW32, block_length)
+    h0 = reduce32(hashes & MASK32, block_length)
+    h1 = reduce32(rotl64(hashes, 21) & MASK32, block_length)
+    h2 = reduce32(rotl64(hashes, 42) & MASK32, block_length)
     return h0, h1, h2
 
 
@@ -166,15 +172,15 @@ def fuse_index_triple(
 ):
     """binary-fuse index triple (binaryfusefilter.h:154-164): h0 from the
     mulhi segment map, h1/h2 in the next two segments with windowed XOR
-    offsets taken from hash bits [18:36) and [0:18)."""
+    offsets taken from hash bits [18:36) and [0:18).  The adds happen in
+    uint32 before the XOR offsets, as in the C batch form."""
     hashes = np.asarray(hashes, dtype=U64)
-    sl = U64(segment_length & MASK32)
-    mask = U64(segment_length_mask & MASK32)
-    with np.errstate(over="ignore"):
-        h0 = mulhi(hashes, segment_count_length) & _LOW32
-        # the C code adds in uint32 before the XOR offsets (h1 = h0+SL; h2 = h1+SL)
-        h1 = ((h0 + sl) & _LOW32) ^ ((hashes >> _SHIFT_18) & mask)
-        h2 = ((h0 + sl + sl) & _LOW32) ^ (hashes & mask)
+    sl = segment_length & MASK32
+    mask = segment_length_mask & MASK32
+    h0 = mulhi(hashes, segment_count_length)
+    h0 &= MASK32
+    h1 = ((h0 + sl) & MASK32) ^ ((hashes >> 18) & mask)
+    h2 = ((h0 + 2 * sl) & MASK32) ^ (hashes & mask)
     return h0, h1, h2
 
 
@@ -184,20 +190,17 @@ def fuse_index_triple_exact(
 ):
     """Same as :func:`fuse_index_triple` but computed exactly like the
     per-slot form binary_fuse8_hash (binaryfusefilter.h:166-175), which the
-    peeling loop uses: h_i = mulhi(hash, scl) + i*SL ^ ((hash & 2^36-1) >>
-    (36-18i)) & mask.  The batch and per-slot forms agree; kept for tests.
+    reference's peeling loop uses: h_i = mulhi(hash, scl) + i*SL ^
+    ((hash & 2^36-1) >> (36-18i)) & mask.  Both forms agree; kept for tests.
     """
     hashes = np.asarray(hashes, dtype=U64)
-    sl = U64(segment_length & MASK64)
-    mask = U64(segment_length_mask & MASK64)
     out = []
-    with np.errstate(over="ignore"):
-        base = mulhi(hashes, segment_count_length)
-        hh = hashes & _LOW36_MASK
-        for i in range(3):
-            h = base + U64(i) * sl
-            h = h ^ ((hh >> U64(36 - 18 * i)) & mask)
-            out.append(h & _LOW32)
+    base = mulhi(hashes, segment_count_length)
+    hh = hashes & ((1 << 36) - 1)
+    for i in range(3):
+        h = base + i * (segment_length & MASK64)
+        h = h ^ ((hh >> (36 - 18 * i)) & segment_length_mask)
+        out.append(h & MASK32)
     return tuple(out)
 
 
