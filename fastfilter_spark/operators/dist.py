@@ -1,0 +1,314 @@
+"""Distributed sharded xor / binary-fuse filter construction on Spark.
+
+The reference library (FastFilter/xor_singleheader) builds one filter per
+process over an in-memory ``uint64_t*`` array (populate signatures at
+/root/reference/include/xorfilter.h:659 and
+/root/reference/include/binaryfusefilter.h:280).  Hypergraph peeling is a
+sequential global fixpoint, so the idiomatic distributed construction is
+*sharded*: route every key to one of S independent sub-filters by a stable
+unseeded hash prefix, build each shard entirely inside one
+``groupBy(shard).applyInPandas`` task with the exact reference algorithm
+(numpy-vectorized, see operators/local.py), and define the distributed
+filter as the sharded collection.  Each shard is a bona-fide reference
+filter over that shard's keys, so the per-shard fpp / bits-per-entry
+guarantees carry over unchanged and the overall fpp bound is identical.
+
+Scale design notes (targeting a 10^12-key Iceberg table, tested locally):
+
+- ONE shuffle total: keys are repartitioned by shard id once; per-shard
+  deduplication happens inside the build kernel via ``np.unique`` (a key's
+  shard is a pure function of the key, so shard-local dedup is globally
+  exact).  No separate ``dropDuplicates`` pass — that would add a second
+  full shuffle on the raw keys.
+- Shard count is chosen so a shard's keys + ~24 B/key construction scratch
+  (reference README.md:153) fit comfortably in one executor task; default
+  target is 2^22 keys/shard (~32 MB keys + ~100 MB scratch).
+- Shard ids come from the top bits of an (unseeded) murmur64 finalizer of
+  the key — uniform for any input distribution, and skew-free because the
+  route hash is independent of the per-shard build seeds.  Hot-key skew in
+  the *input* (e.g. duplicate urls) is absorbed by in-kernel dedup; true
+  volume skew is split by AQE skew-partition handling upstream.
+- The result is tiny relative to the input (~1.1 byte/key for 8-bit
+  fingerprints), persisted as one row per shard ``(shard, kind, payload
+  binary, lineage...)`` in a parquet "filter table", and broadcast for
+  probe-side use.
+- Probing is a scalar Arrow pandas UDF over the broadcast shard list:
+  route each probe key by the same hash prefix, gather 3 fingerprint cells,
+  xor, compare.  Used via ``df.filter(sf.contains_udf()(col))`` this is the
+  distributed analog of a broadcast left-semi join with the exact hash
+  table replaced by a 9-bit/key approximate one.
+
+Checkpoint/resume (BASELINE.json:north_rule): ``build_sharded`` with a
+``checkpoint_dir`` writes each shard's row as soon as its build task
+finishes (partitioned parquet append); a rerun reads the directory,
+skips finished shards, and builds only the missing ones.  Idempotent by
+shard id; per-shard lineage (input_rows, distinct keys, seed, attempts,
+build_ms) is stored alongside the payload.
+"""
+
+from __future__ import annotations
+
+import math
+import time
+from dataclasses import dataclass
+from typing import Iterable
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.types import (
+    BinaryType, BooleanType, DoubleType, IntegerType, LongType, StringType,
+    StructField, StructType,
+)
+
+from fastfilter_spark.functions import kernels as K
+from fastfilter_spark.operators.local import build_filter, filter_from_bytes
+
+# One row per shard; `payload` is the reference wire format (to_bytes).
+FILTER_TABLE_SCHEMA = StructType([
+    StructField("shard", IntegerType(), False),
+    StructField("kind", StringType(), False),
+    StructField("num_shards", IntegerType(), False),
+    StructField("input_rows", LongType(), False),      # rows fed to the kernel
+    StructField("distinct_keys", LongType(), False),   # after in-kernel dedup
+    StructField("seed", LongType(), False),            # winning seed (2's-compl)
+    StructField("size_bytes", LongType(), False),
+    StructField("build_ms", DoubleType(), False),
+    StructField("payload", BinaryType(), False),
+])
+
+
+def shard_of_hash(keys_u64: np.ndarray, shard_bits: int) -> np.ndarray:
+    """Shard id = top ``shard_bits`` bits of murmur64(key).
+
+    Unseeded and independent of the per-shard splitmix build seeds
+    (which mix the key *before* murmur, xorfilter.h:55-57), so routing
+    never correlates with construction success.
+    """
+    if shard_bits == 0:
+        return np.zeros(len(keys_u64), dtype=np.int32)
+    h = K.murmur64(np.asarray(keys_u64, dtype=np.uint64))
+    return (h >> (64 - shard_bits)).astype(np.int32)
+
+
+def choose_shard_bits(approx_distinct: int, target_keys_per_shard: int = 1 << 22,
+                      max_bits: int = 16) -> int:
+    """Smallest power-of-two shard count keeping shards under the target.
+
+    2^22 keys/shard ~= 32 MB of keys + ~100 MB peel scratch per task —
+    safely inside a default executor; raise ``max_bits`` for 10^12 keys
+    (2^16 shards x 2^22 keys covers ~3x10^11; 2^20 shards covers 4x10^12).
+    """
+    if approx_distinct <= target_keys_per_shard:
+        return 0
+    return min(max_bits, max(0, math.ceil(
+        math.log2(approx_distinct / target_keys_per_shard))))
+
+
+def _build_shard_kernel(kind: str, num_shards: int):
+    """Grouped-map kernel: one shard's keys -> one filter-table row.
+
+    Runs the exact reference populate (operators/local.py) after an
+    in-kernel ``np.unique`` dedup — the Spark-scale replacement for the
+    reference's lazy sort-and-dedup (xorfilter.h:24-34; the duplicate-
+    tolerance path itself is still implemented and tested in local.py).
+    """
+
+    def build(pdf: pd.DataFrame) -> pd.DataFrame:
+        t0 = time.perf_counter()
+        shard = int(pdf["shard"].iloc[0])
+        raw = K.to_uint64(pdf["key"].to_numpy())
+        keys = np.unique(raw)
+        filt = build_filter(keys, kind)
+        payload = filt.to_bytes()
+        ms = (time.perf_counter() - t0) * 1e3
+        return pd.DataFrame({
+            "shard": [shard], "kind": [kind], "num_shards": [num_shards],
+            "input_rows": [int(raw.size)], "distinct_keys": [int(keys.size)],
+            "seed": [np.uint64(filt.seed).astype(np.int64).item()],
+            "size_bytes": [int(filt.size_in_bytes())],
+            "build_ms": [ms], "payload": [payload],
+        })
+
+    return build
+
+
+def keys_with_shard(df: DataFrame, key_col: str, shard_bits: int) -> DataFrame:
+    """Project to (key long, shard int); shard via an Arrow-vectorized UDF.
+
+    The murmur64 finalizer must match the numpy kernel bit-for-bit; Spark's
+    ``xxhash64`` is a different function and JVM-side long multiplies would
+    raise under ANSI mode, so the 3-instruction finalizer runs as a pandas
+    UDF (Arrow batches, no per-row Python).
+    """
+
+    @F.pandas_udf(IntegerType())
+    def shard_udf(s: pd.Series) -> pd.Series:
+        return pd.Series(shard_of_hash(K.to_uint64(s.to_numpy()), shard_bits))
+
+    return df.select(F.col(key_col).cast(LongType()).alias("key")) \
+             .withColumn("shard", shard_udf("key"))
+
+
+@dataclass
+class ShardedFilter:
+    """A distributed filter = 2^shard_bits independent reference filters.
+
+    ``payloads[i]`` is shard i's reference wire format; probe routing uses
+    the same hash prefix as construction.
+    """
+
+    kind: str
+    shard_bits: int
+    payloads: list[bytes]
+
+    @property
+    def num_shards(self) -> int:
+        return 1 << self.shard_bits
+
+    # -- construction -----------------------------------------------------
+
+    @classmethod
+    def from_filter_table(cls, rows: Iterable) -> "ShardedFilter":
+        rows = sorted(rows, key=lambda r: r["shard"])
+        if not rows:
+            raise ValueError("empty filter table")
+        num_shards = rows[0]["num_shards"]
+        kind = rows[0]["kind"]
+        if len(rows) != num_shards:
+            missing = set(range(num_shards)) - {r["shard"] for r in rows}
+            raise ValueError(f"filter table incomplete: missing shards {sorted(missing)[:8]}...")
+        return cls(kind=kind, shard_bits=int(math.log2(num_shards)),
+                   payloads=[bytes(r["payload"]) for r in rows])
+
+    # -- probing ----------------------------------------------------------
+
+    def _filters(self):
+        return [filter_from_bytes(p, self.kind) for p in self.payloads]
+
+    def contain_np(self, keys) -> np.ndarray:
+        """Driver-side vectorized probe (for tests / small batches)."""
+        keys = K.to_uint64(np.asarray(keys))
+        out = np.zeros(keys.size, dtype=bool)
+        filters = self._filters()
+        shards = shard_of_hash(keys, self.shard_bits)
+        for s in np.unique(shards):
+            m = shards == s
+            out[m] = filters[s].contain(keys[m])
+        return out
+
+    def contains_udf(self, spark: SparkSession | None = None):
+        """Scalar pandas UDF ``long -> boolean`` probing the broadcast filter.
+
+        The shard payload list is broadcast once (torrent distribution) and
+        each executor lazily deserializes payloads to numpy views; a probe
+        batch does 3 gathers + xor + compare per key
+        (xorfilter.h:96-108, binaryfusefilter.h:178-187).
+        """
+        kind, shard_bits = self.kind, self.shard_bits
+        if spark is not None:
+            bc = spark.sparkContext.broadcast(self.payloads)
+            get_payloads = lambda: bc.value  # noqa: E731
+        else:
+            payloads = self.payloads
+            get_payloads = lambda: payloads  # noqa: E731
+
+        cache: dict[int, object] = {}
+
+        @F.pandas_udf(BooleanType())
+        def contains(s: pd.Series) -> pd.Series:
+            keys = K.to_uint64(s.to_numpy())
+            out = np.zeros(keys.size, dtype=bool)
+            shards = shard_of_hash(keys, shard_bits)
+            plist = get_payloads()
+            for sh in np.unique(shards):
+                f = cache.get(int(sh))
+                if f is None:
+                    f = filter_from_bytes(plist[int(sh)], kind)
+                    cache[int(sh)] = f
+                m = shards == sh
+                out[m] = f.contain(keys[m])
+            return pd.Series(out)
+
+        return contains
+
+    # -- sizing -----------------------------------------------------------
+
+    def size_in_bytes(self) -> int:
+        return sum(len(p) for p in self.payloads)
+
+    def bits_per_entry(self, n_keys: int) -> float:
+        return self.size_in_bytes() * 8.0 / max(1, n_keys)
+
+
+def build_sharded(
+    df: DataFrame,
+    key_col: str,
+    kind: str = "fuse8",
+    shard_bits: int | None = None,
+    target_keys_per_shard: int = 1 << 22,
+    checkpoint_dir: str | None = None,
+) -> tuple[ShardedFilter, DataFrame]:
+    """Build a sharded filter over ``df[key_col]`` (int64 keys).
+
+    Returns ``(filter, filter_table_df)``.  Plan shape (one shuffle):
+
+        scan -> select(key) -> pandas-UDF shard id
+             -> groupBy(shard)                       [THE shuffle]
+             -> applyInPandas(reference populate)    [one task per shard]
+             -> 2^bits tiny rows
+
+    With ``checkpoint_dir`` the filter table is appended per-shard to
+    parquet and a rerun builds only missing shards (resume-by-shard-id,
+    BASELINE.json:north_rule).
+    """
+    spark = df.sparkSession
+    if shard_bits is None:
+        approx = df.select(F.approx_count_distinct(key_col).alias("n")) \
+                   .collect()[0]["n"]
+        shard_bits = choose_shard_bits(approx, target_keys_per_shard)
+    num_shards = 1 << shard_bits
+
+    keyed = keys_with_shard(df, key_col, shard_bits)
+
+    done: set[int] = set()
+    if checkpoint_dir is not None:
+        try:
+            existing = spark.read.schema(FILTER_TABLE_SCHEMA) \
+                .parquet(checkpoint_dir)
+            done = {r["shard"] for r in
+                    existing.select("shard").distinct().collect()}
+        except Exception:
+            existing = None
+        if done:
+            keyed = keyed.where(~F.col("shard").isin([int(s) for s in done]))
+
+    if len(done) < num_shards:
+        built = keyed.groupBy("shard").applyInPandas(
+            _build_shard_kernel(kind, num_shards), schema=FILTER_TABLE_SCHEMA)
+        if checkpoint_dir is not None:
+            built.write.mode("append").parquet(checkpoint_dir)
+            table = spark.read.schema(FILTER_TABLE_SCHEMA).parquet(checkpoint_dir)
+        else:
+            table = built
+    else:
+        table = spark.read.schema(FILTER_TABLE_SCHEMA).parquet(checkpoint_dir)
+
+    rows = table.collect()
+    return ShardedFilter.from_filter_table(rows), table
+
+
+def semi_join_prune(fact: DataFrame, fact_key: str, sf: ShardedFilter,
+                    dim_keys: DataFrame, dim_key: str) -> DataFrame:
+    """Exact left-semi join accelerated by a filter pre-probe.
+
+    The contains() probe (no false negatives) discards ~all non-matching
+    fact rows *before* the shuffle/broadcast of the exact join — at 100 TB
+    this is the difference between shuffling the full fact table and
+    shuffling the ~matching fraction.  The final exact join removes the
+    <=2^-8/2^-16 false positives, so results are exact.
+    """
+    spark = fact.sparkSession
+    pruned = fact.where(sf.contains_udf(spark)(F.col(fact_key)))
+    return pruned.join(dim_keys.select(dim_key).distinct(),
+                       pruned[fact_key] == F.col(dim_key), "left_semi")
