@@ -1,0 +1,144 @@
+"""Distributed mergeable-sketch aggregation (the UDAF layer).
+
+Pattern: map-side partials + tree merge — the classic mergeable-UDAF
+physical plan, expressed with ``mapInPandas`` so each task folds all of
+its Arrow batches into ONE sketch and emits one binary row:
+
+    scan -> mapInPandas(partial per partition)     [no shuffle]
+         -> [optional tree level: groupBy(bucket) merge]
+         -> collect tiny blobs -> driver merge
+
+Map-side partial aggregation means the shuffle (if any) moves only
+``num_partitions`` sketch blobs (KBs), never rows — the property that
+makes this viable on a 10^12-row table: with 10^5 input tasks and
+fanout 64, the tree is depth 2 and the driver merges <=64 blobs.
+
+Merge associativity/commutativity of every sketch (functions/sketches.py)
+is what makes the result independent of partition order; verified by
+tests/test_sketches.py over shuffled partitionings per
+BASELINE.json:north_rule.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Callable, Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+
+from fastfilter_spark.functions.sketches import (
+    Bloom, CountMin, HyperLogLog, KLL, TDigest, sketch_from_bytes,
+)
+
+_BLOB_SCHEMA = "sketch binary"
+
+
+def _partial_map(factory: Callable[[], object], colname: str, as_float: bool):
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        sk = None
+        for pdf in batches:
+            vals = pdf[colname].dropna().to_numpy()
+            if vals.size == 0:
+                continue
+            if sk is None:
+                sk = factory()
+            sk.update(vals.astype(np.float64) if as_float
+                      else vals.astype(np.int64))
+        if sk is not None:
+            yield pd.DataFrame({"sketch": [sk.to_bytes()]})
+    return fn
+
+
+def _merge_map(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    acc = None
+    for pdf in batches:
+        for blob in pdf["sketch"]:
+            sk = sketch_from_bytes(bytes(blob))
+            acc = sk if acc is None else acc.merge(sk)
+    if acc is not None:
+        yield pd.DataFrame({"sketch": [acc.to_bytes()]})
+
+
+def sketch_column(df: DataFrame, col: str, factory: Callable[[], object],
+                  as_float: bool = False, tree_fanout: int = 64):
+    """Aggregate ``df[col]`` into one sketch via partials + tree merge.
+
+    ``as_float`` selects float64 ingestion (KLL/t-digest); default int64
+    (HLL/CMS/Bloom expect integer keys — hash strings first, e.g. with
+    ``F.xxhash64``).  Returns the merged sketch object.
+    """
+    partials = df.select(F.col(col).alias(col)) \
+        .mapInPandas(_partial_map(factory, col, as_float), schema=_BLOB_SCHEMA)
+
+    n_parts = df.rdd.getNumPartitions()
+    if n_parts > tree_fanout:
+        buckets = max(1, math.ceil(n_parts / tree_fanout))
+        partials = partials.repartition(buckets) \
+            .mapInPandas(_merge_map, schema=_BLOB_SCHEMA)
+
+    blobs = [bytes(r["sketch"]) for r in partials.collect()]
+    if not blobs:
+        return factory()
+    acc = sketch_from_bytes(blobs[0])
+    for b in blobs[1:]:
+        acc = acc.merge(sketch_from_bytes(b))
+    return acc
+
+
+# -- convenience aggregations ------------------------------------------------
+
+def hll_count_distinct(df: DataFrame, col: str, p: int = 12,
+                       hash_strings_col: bool | None = None) -> float:
+    """Approximate COUNT(DISTINCT col) via HyperLogLog.
+
+    String columns are hashed JVM-side with xxhash64 (no Python in the
+    row path); the HLL then re-mixes with murmur64, so any 64-bit input
+    hash distribution works.
+    """
+    dtype = dict(df.dtypes)[col]
+    if hash_strings_col is None:
+        hash_strings_col = dtype in ("string", "binary")
+    keyed = df.select(F.xxhash64(F.col(col)).alias(col)) if hash_strings_col \
+        else df.select(F.col(col).cast("long").alias(col))
+    hll = sketch_column(keyed, col, lambda: HyperLogLog(p))
+    return hll.estimate()
+
+
+def cms_sketch(df: DataFrame, col: str, width: int = 2048, depth: int = 5,
+               hash_strings_col: bool | None = None) -> CountMin:
+    dtype = dict(df.dtypes)[col]
+    if hash_strings_col is None:
+        hash_strings_col = dtype in ("string", "binary")
+    keyed = df.select(F.xxhash64(F.col(col)).alias(col)) if hash_strings_col \
+        else df.select(F.col(col).cast("long").alias(col))
+    return sketch_column(keyed, col, lambda: CountMin(width, depth))
+
+
+def kll_quantiles(df: DataFrame, col: str, qs: list[float],
+                  k: int = 200) -> list[float]:
+    sk = sketch_column(df.select(F.col(col).cast("double").alias(col)),
+                       col, lambda: KLL(k), as_float=True)
+    return [sk.quantile(q) for q in qs]
+
+
+def tdigest_quantiles(df: DataFrame, col: str, qs: list[float],
+                      delta: float = 100.0) -> list[float]:
+    sk = sketch_column(df.select(F.col(col).cast("double").alias(col)),
+                       col, lambda: TDigest(delta), as_float=True)
+    return [sk.quantile(q) for q in qs]
+
+
+def bloom_sketch(df: DataFrame, col: str, capacity: int | None = None,
+                 fpp: float = 0.01,
+                 hash_strings_col: bool | None = None) -> Bloom:
+    dtype = dict(df.dtypes)[col]
+    if hash_strings_col is None:
+        hash_strings_col = dtype in ("string", "binary")
+    keyed = df.select(F.xxhash64(F.col(col)).alias(col)) if hash_strings_col \
+        else df.select(F.col(col).cast("long").alias(col))
+    if capacity is None:
+        capacity = keyed.select(
+            F.approx_count_distinct(col).alias("n")).collect()[0]["n"]
+    return sketch_column(keyed, col, lambda: Bloom.from_capacity(capacity, fpp))
