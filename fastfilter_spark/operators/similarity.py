@@ -1,0 +1,133 @@
+"""Approximate-nearest-neighbor search over embedding columns.
+
+Two paths over `embeddings(vec_id, embedding array<float>, label)`:
+
+- ``brute_force_topk`` — exact cosine top-k, fully JVM-side
+  (``F.zip_with`` dot product + ``F.aggregate`` fold, no Python), a
+  single narrow scan + global top-k (Spark's TakeOrderedAndProject —
+  per-partition heaps, only k rows per partition reach the driver).
+  The baseline and correctness oracle.
+- ``ivf_topk`` — IVF (inverted-file) index: k-means centroids fitted on
+  a driver-side sample, cluster id materialized per row (one pass,
+  Arrow UDF), stored partitioned by cluster.  A query probes only the
+  ``nprobe`` nearest clusters => scan cost drops by ~ncells/nprobe.
+  At 100 TB the cluster column is a partition key, so probing is
+  partition pruning at the source level, not a filter after a scan.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window, functions as F
+from pyspark.sql.types import IntegerType
+
+
+def _cosine_col(vec_col, query: list[float]):
+    """JVM-only cosine(vec, query): zip_with product + aggregate sum."""
+    q = F.array(*[F.lit(float(x)) for x in query])
+    dot = F.aggregate(F.zip_with(vec_col, q, lambda a, b: a * b),
+                      F.lit(0.0), lambda acc, v: acc + v)
+    norm_v = F.sqrt(F.aggregate(F.transform(vec_col, lambda a: a * a),
+                                F.lit(0.0), lambda acc, v: acc + v))
+    qn = float(np.linalg.norm(query))
+    return dot / (norm_v * F.lit(qn if qn > 0 else 1.0))
+
+
+def brute_force_topk(df: DataFrame, query: list[float], k: int = 10,
+                     id_col: str = "vec_id",
+                     vec_col: str = "embedding") -> DataFrame:
+    """Exact cosine top-k: (vec_id, cosine), descending, ties by id."""
+    return (df.select(F.col(id_col),
+                      _cosine_col(F.col(vec_col), query).alias("cosine"))
+            .orderBy(F.desc("cosine"), F.col(id_col))
+            .limit(k))
+
+
+class IVFIndex:
+    """Inverted-file ANN index: centroids on the driver, assignments in
+    the table.  ``fit`` samples rows (bounded collect), runs a few Lloyd
+    iterations in numpy; ``assign`` adds a cluster column (Arrow UDF,
+    one pass); ``search`` probes the nprobe nearest cells."""
+
+    def __init__(self, centroids: np.ndarray):
+        self.centroids = centroids  # (ncells, dim), L2-normalized
+
+    @classmethod
+    def fit(cls, df: DataFrame, vec_col: str = "embedding",
+            ncells: int = 16, sample_rows: int = 10_000,
+            iters: int = 10, seed: int = 7) -> "IVFIndex":
+        sample = np.stack([np.asarray(r[0]) for r in
+                           df.select(vec_col).limit(sample_rows).collect()]
+                          ).astype(np.float64)
+        sample /= np.maximum(np.linalg.norm(sample, axis=1, keepdims=True), 1e-12)
+        rng = np.random.default_rng(seed)
+        cent = sample[rng.choice(len(sample), size=min(ncells, len(sample)),
+                                 replace=False)]
+        for _ in range(iters):
+            sims = sample @ cent.T
+            assign = sims.argmax(axis=1)
+            for c in range(len(cent)):
+                m = assign == c
+                if m.any():
+                    v = sample[m].mean(axis=0)
+                    cent[c] = v / max(np.linalg.norm(v), 1e-12)
+        return cls(cent)
+
+    def assign(self, df: DataFrame, vec_col: str = "embedding") -> DataFrame:
+        cent = self.centroids
+
+        @F.pandas_udf(IntegerType())
+        def cell(s: pd.Series) -> pd.Series:
+            M = np.stack(s.map(np.asarray).to_numpy()).astype(np.float64)
+            M /= np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-12)
+            return pd.Series((M @ cent.T).argmax(axis=1).astype(np.int32))
+
+        return df.withColumn("cell", cell(F.col(vec_col)))
+
+    def search(self, assigned: DataFrame, query: list[float], k: int = 10,
+               nprobe: int = 4, id_col: str = "vec_id",
+               vec_col: str = "embedding") -> DataFrame:
+        q = np.asarray(query, dtype=np.float64)
+        qn = q / max(np.linalg.norm(q), 1e-12)
+        order = np.argsort(-(self.centroids @ qn))
+        probe_cells = [int(c) for c in order[:nprobe]]
+        pruned = assigned.where(F.col("cell").isin(probe_cells))
+        return brute_force_topk(pruned, query, k, id_col, vec_col)
+
+
+def pairwise_topk_join(df: DataFrame, queries: DataFrame, k: int = 5,
+                       id_col: str = "vec_id", vec_col: str = "embedding",
+                       qid_col: str = "q_id", qvec_col: str = "q_vec") -> DataFrame:
+    """Batch ANN: top-k corpus neighbors per query row via a broadcast
+    cross score inside mapInPandas (queries must be small enough to
+    broadcast — the typical eval-set shape)."""
+    qrows = queries.select(qid_col, qvec_col).collect()
+    qids = np.array([r[0] for r in qrows], dtype=np.int64)
+    Q = np.stack([np.asarray(r[1]) for r in qrows]).astype(np.float64)
+    Q /= np.maximum(np.linalg.norm(Q, axis=1, keepdims=True), 1e-12)
+
+    def score(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            if not len(pdf):
+                continue
+            M = np.stack(pdf[vec_col].map(np.asarray).to_numpy()).astype(np.float64)
+            M /= np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-12)
+            sims = Q @ M.T                      # (nq, batch)
+            ids = pdf[id_col].to_numpy()
+            kk = min(k, sims.shape[1])
+            top = np.argpartition(-sims, kk - 1, axis=1)[:, :kk]
+            out = pd.DataFrame({
+                qid_col: np.repeat(qids, kk),
+                id_col: ids[top].ravel(),
+                "cosine": np.take_along_axis(sims, top, axis=1).ravel(),
+            })
+            yield out
+
+    partial = df.select(id_col, vec_col).mapInPandas(
+        score, schema=f"{qid_col} long, {id_col} long, cosine double")
+    w = Window.partitionBy(qid_col).orderBy(F.desc("cosine"), F.col(id_col))
+    return partial.withColumn("_rk", F.row_number().over(w)) \
+        .where(F.col("_rk") <= k).drop("_rk")
