@@ -1,38 +1,415 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship pipeline (webpages -> url keys ->
+sharded fuse8 build -> probe + semi-join prune) at sf0.001.
+``queries()`` exposes one entry per implemented operator from
+SURVEY.md §2 (+ the mandated training-data-pipeline extensions);
+``oracle_sql()`` gives DuckDB-equivalent SQL for every
+SQL-expressible query.  Filter queries are SQL-checkable because xor /
+binary-fuse filters have zero false negatives: ``count(keys passing
+contain)`` over inserted keys must equal the exact distinct count.
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, functions as F
 
+SF_DEFAULT = "/root/testdata/sf0.001"
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# ---------------------------------------------------------------------------
+# flagship
+# ---------------------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: synthesize webpages, build a sharded binary-fuse8 filter
+    over the url keys, probe it (zero false negatives), prune a key join,
+    and report build lineage + probe metrics as a small DataFrame."""
+    from fastfilter_spark.operators.dist import build_sharded
+    from fastfilter_spark.sources.webpages import (
+        extraction_mismatch_count, synthesize_webpages, url_keys,
+    )
 
+    wp = synthesize_webpages(spark, 4000, seed=42, duplicate_fraction=0.1)
+    keys = url_keys(wp)
+    sf, table = build_sharded(keys, "key", kind="fuse8", shard_bits=1)
+    n_distinct = keys.distinct().count()
+    n_pass = keys.distinct().where(
+        sf.contains_udf(spark)(F.col("key"))).count()
+    mism = extraction_mismatch_count(wp)
+    lineage = table.select(
+        "shard", "kind", "input_rows", "distinct_keys", "size_bytes")
+    summary = lineage.agg(
+        F.lit("fuse8").alias("kind"),
+        F.sum("input_rows").alias("input_rows"),
+        F.sum("distinct_keys").alias("distinct_keys"),
+        F.sum("size_bytes").alias("filter_bytes"),
+        F.lit(n_distinct).alias("n_keys"),
+        F.lit(n_pass).alias("n_pass"),
+        F.lit(mism).alias("extract_mismatches"),
+    )
+    return summary
+
+
+# ---------------------------------------------------------------------------
+# filter membership queries (zero-false-negative invariant => SQL oracle)
+# ---------------------------------------------------------------------------
+
+def _membership(kind: str, table: str, col: str, shard_bits: int):
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from fastfilter_spark.operators.dist import build_sharded
+        df = _t(spark, sf_dir, table)
+        sf, _ = build_sharded(df, col, kind=kind, shard_bits=shard_bits)
+        keys = df.select(col).distinct()
+        n_keys = keys.count()
+        n_pass = keys.where(sf.contains_udf(spark)(F.col(col))).count()
+        return spark.createDataFrame(
+            [(n_keys, n_pass)], "n_keys long, n_pass long")
+    return run
+
+
+def _membership_sql(table: str, col: str) -> str:
+    return (f"SELECT count(DISTINCT {col}) AS n_keys, "
+            f"count(DISTINCT {col}) AS n_pass FROM {table}")
+
+
+def q_bloom_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+
+    from fastfilter_spark.operators.sketch_agg import bloom_sketch
+    df = _t(spark, sf_dir, "orders")
+    bf = bloom_sketch(df, "o_orderkey", fpp=0.01)
+    keys = np.array([r[0] for r in
+                     df.select("o_orderkey").distinct().collect()],
+                    dtype=np.int64)
+    n_pass = int(bf.contains(keys).sum())
+    return spark.createDataFrame([(int(keys.size), n_pass)],
+                                 "n_keys long, n_pass long")
+
+
+def q_semi_join_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fastfilter_spark.operators.dist import build_sharded, semi_join_prune
+    orders = _t(spark, sf_dir, "orders")
+    customer = _t(spark, sf_dir, "customer")
+    dim = customer.where(F.col("c_custkey") % 5 == 0)
+    sf, _ = build_sharded(dim, "c_custkey", kind="fuse8", shard_bits=0)
+    pruned = semi_join_prune(orders, "o_custkey", sf, dim, "c_custkey")
+    return pruned.agg(F.count("*").alias("n_orders"),
+                      F.count_distinct("o_custkey").alias("n_matched_cust"))
+
+
+# ---------------------------------------------------------------------------
+# text / dedup / quality queries
+# ---------------------------------------------------------------------------
+
+def q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fastfilter_spark.operators.dedup import exact_dedup
+    docs = _t(spark, sf_dir, "documents")
+    return spark.createDataFrame(
+        [(docs.count(), exact_dedup(docs).count())],
+        "n_docs long, n_distinct long")
+
+
+def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fastfilter_spark.functions.text import token_count
+    docs = _t(spark, sf_dir, "documents")
+    return (docs.groupBy("lang")
+            .agg(F.count("*").alias("n_docs"),
+                 F.sum(token_count(F.col("text"))).alias("sum_tokens"))
+            .orderBy("lang"))
+
+
+def q_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fastfilter_spark.functions.text import bpe_ish_token_count
+    docs = _t(spark, sf_dir, "documents")
+    return docs.agg(
+        F.sum(bpe_ish_token_count(F.col("text"))).alias("total_bpe_tokens"))
+
+
+def q_quality_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return (docs.select((F.floor(F.length("text") / 100))
+                        .cast("long").alias("bucket"))
+            .groupBy("bucket").agg(F.count("*").alias("n_docs"))
+            .orderBy("bucket"))
+
+
+def q_lang_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return docs.groupBy("lang").agg(F.count("*").alias("n")).orderBy("lang")
+
+
+def q_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fastfilter_spark.functions.text import doc_fingerprint
+    docs = _t(spark, sf_dir, "documents")
+    return (docs.select("doc_id",
+                        doc_fingerprint(F.col("text")).alias("fingerprint"))
+            .orderBy("fingerprint").limit(10))
+
+
+# ---------------------------------------------------------------------------
+# similarity search
+# ---------------------------------------------------------------------------
+
+def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from fastfilter_spark.operators.similarity import brute_force_topk
+    emb = _t(spark, sf_dir, "embeddings")
+    qvec = list(emb.where(F.col("vec_id") == 3).first()["embedding"])
+    top = brute_force_topk(emb, qvec, k=5)
+    w = Window.orderBy(F.desc("cosine"), F.col("vec_id"))
+    return top.withColumn("rank", F.row_number().over(w)) \
+        .select("rank", "vec_id")
+
+
+# ---------------------------------------------------------------------------
+# relational demos (Catalyst-planned; also exercised by bench.py)
+# ---------------------------------------------------------------------------
+
+def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return (li.groupBy("l_returnflag", "l_linestatus")
+            .agg(F.count("*").alias("n_rows"),
+                 F.sum(F.col("l_quantity").cast("long")).alias("sum_qty"))
+            .orderBy("l_returnflag", "l_linestatus"))
+
+
+def q_events_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    return (ev.groupBy("event_type")
+            .agg(F.count("*").alias("n_events"),
+                 F.count_distinct("user_id").alias("n_users"))
+            .orderBy("event_type"))
+
+
+# ---------------------------------------------------------------------------
+# non-SQL-expressible queries (driver records rows-only)
+# ---------------------------------------------------------------------------
+
+def q_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fastfilter_spark.operators.sketch_agg import hll_count_distinct
+    li = _t(spark, sf_dir, "lineitem")
+    est = hll_count_distinct(li, "l_orderkey", p=12)
+    return spark.createDataFrame([(int(round(est)),)], "hll_estimate long")
+
+
+def q_kll_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fastfilter_spark.operators.sketch_agg import kll_quantiles
+    li = _t(spark, sf_dir, "lineitem")
+    qs = [0.1, 0.5, 0.9]
+    vals = kll_quantiles(li, "l_extendedprice", qs)
+    return spark.createDataFrame(
+        [(float(q), float(v)) for q, v in zip(qs, vals)], "q double, value double")
+
+
+def q_tdigest_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fastfilter_spark.operators.sketch_agg import tdigest_quantiles
+    li = _t(spark, sf_dir, "lineitem")
+    qs = [0.1, 0.5, 0.9]
+    vals = tdigest_quantiles(li, "l_extendedprice", qs)
+    return spark.createDataFrame(
+        [(float(q), float(v)) for q, v in zip(qs, vals)], "q double, value double")
+
+
+def q_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+
+    from fastfilter_spark.operators.sketch_agg import cms_sketch
+    li = _t(spark, sf_dir, "lineitem")
+    cms = cms_sketch(li, "l_suppkey", width=4096, depth=5)
+    top = li.groupBy("l_suppkey").count() \
+        .orderBy(F.desc("count"), "l_suppkey").limit(5).collect()
+    rows = [(int(r["l_suppkey"]),
+             int(cms.query(np.array([r["l_suppkey"]], dtype=np.int64))[0]))
+            for r in top]
+    return spark.createDataFrame(rows, "l_suppkey long, est_count long")
+
+
+def q_minhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fastfilter_spark.operators.dedup import minhash_dedup_pairs
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    near = docs.orderBy("doc_id").limit(15).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" tail tail tail")).alias("text"))
+    pairs = minhash_dedup_pairs(docs.unionAll(near), threshold=0.5,
+                                n_hashes=64, bands=16)
+    return pairs.select("id_a", "id_b").orderBy("id_a", "id_b")
+
+
+def q_simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fastfilter_spark.operators.dedup import simhash_pairs
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    near = docs.orderBy("doc_id").limit(15).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" x")).alias("text"))
+    return simhash_pairs(docs.unionAll(near), max_hamming=6) \
+        .orderBy("id_a", "id_b")
+
+
+def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fastfilter_spark.operators.dedup import embedding_near_dup
+    emb = _t(spark, sf_dir, "embeddings")
+    dup = emb.orderBy("vec_id").limit(10).select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"), "embedding")
+    mixed = emb.select("vec_id", "embedding").unionAll(dup)
+    return embedding_near_dup(mixed, threshold=0.999, n_planes=8) \
+        .select("id_a", "id_b").orderBy("id_a", "id_b")
+
+
+def q_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fastfilter_spark.operators.similarity import (
+        IVFIndex, brute_force_topk)
+    emb = _t(spark, sf_dir, "embeddings")
+    idx = IVFIndex.fit(emb, ncells=8)
+    assigned = idx.assign(emb)
+    hits = 0
+    for r in emb.orderBy("vec_id").limit(3).collect():
+        q = list(r["embedding"])
+        exact = {x["vec_id"] for x in brute_force_topk(emb, q, 5).collect()}
+        approx = {x["vec_id"] for x in
+                  idx.search(assigned, q, 5, nprobe=3).collect()}
+        hits += len(exact & approx)
+    return spark.createDataFrame([(3, 5, hits)],
+                                 "n_queries long, k long, hits long")
+
+
+def q_webpages_invariant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fastfilter_spark.sources.webpages import (
+        extraction_mismatch_count, synthesize_webpages)
+    wp = synthesize_webpages(spark, 2000, seed=42)
+    return spark.createDataFrame(
+        [(wp.count(), extraction_mismatch_count(wp))],
+        "n_pages long, n_mismatch long")
+
+
+def q_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fastfilter_spark.operators.multimodal import (
+        image_features, synthesize_media)
+    media = synthesize_media(spark, 50, kind="image")
+    return image_features(media, decode="fake") \
+        .select("media_id", "phash").orderBy("media_id")
+
+
+def q_filter_serialization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-trip every filter kind through bytes + packed bytes; emits
+    (kind, roundtrip_ok, packed_ok) — the distributed analog of
+    tests/unit.c:65-76."""
+    import numpy as np
+
+    from fastfilter_spark.operators.local import (
+        build_filter, filter_from_bytes)
+    keys = np.arange(5000, dtype=np.uint64) * np.uint64(0x9E3779B97F4A7C15)
+    rows = []
+    for kind in ("xor8", "xor16", "fuse8", "fuse16", "fuse32"):
+        f = build_filter(keys, kind)
+        rt = filter_from_bytes(f.to_bytes(), kind)
+        ok = bool(rt.contain(keys).all())
+        unpacked = type(f).unpack(f.pack(), f.fingerprint_bits)
+        pok = bool(unpacked.contain(keys).all()
+                   and (unpacked.fingerprints == f.fingerprints).all())
+        rows.append((kind, ok, pok))
+    return spark.createDataFrame(
+        rows, "kind string, roundtrip_ok boolean, packed_ok boolean")
+
+
+# ---------------------------------------------------------------------------
+# registry
+# ---------------------------------------------------------------------------
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        # filter lifecycle (SURVEY §2.3)
+        "fuse8_membership": _membership("fuse8", "lineitem", "l_orderkey", 2),
+        "xor8_membership": _membership("xor8", "orders", "o_custkey", 1),
+        "xor16_membership": _membership("xor16", "part", "p_partkey", 0),
+        "fuse16_membership": _membership("fuse16", "customer", "c_custkey", 0),
+        "fuse32_membership": _membership("fuse32", "supplier", "s_suppkey", 0),
+        "bloom_membership": q_bloom_membership,
+        "semi_join_prune": q_semi_join_prune,
+        "filter_serialization": q_filter_serialization,
+        # text / dedup
+        "exact_dedup": q_exact_dedup,
+        "token_stats": q_token_stats,
+        "bpe_tokens": q_bpe_tokens,
+        "quality_buckets": q_quality_buckets,
+        "lang_distribution": q_lang_distribution,
+        "fingerprints": q_fingerprints,
+        "minhash_near_dups": q_minhash_near_dups,
+        "simhash_near_dups": q_simhash_near_dups,
+        "embedding_near_dup": q_embedding_near_dup,
+        # similarity
+        "ann_topk": q_ann_topk,
+        "ivf_recall": q_ivf_recall,
+        # sketches (north_rule)
+        "hll_distinct": q_hll_distinct,
+        "kll_quantiles": q_kll_quantiles,
+        "tdigest_quantiles": q_tdigest_quantiles,
+        "cms_heavy_hitters": q_cms_heavy_hitters,
+        # relational demos
+        "pricing_summary": q_pricing_summary,
+        "events_by_type": q_events_by_type,
+        # sources
+        "webpages_invariant": q_webpages_invariant,
+        "image_features": q_image_features,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "fuse8_membership": _membership_sql("lineitem", "l_orderkey"),
+        "xor8_membership": _membership_sql("orders", "o_custkey"),
+        "xor16_membership": _membership_sql("part", "p_partkey"),
+        "fuse16_membership": _membership_sql("customer", "c_custkey"),
+        "fuse32_membership": _membership_sql("supplier", "s_suppkey"),
+        "bloom_membership": _membership_sql("orders", "o_orderkey"),
+        "semi_join_prune": (
+            "SELECT count(*) AS n_orders, "
+            "count(DISTINCT o_custkey) AS n_matched_cust FROM orders "
+            "WHERE o_custkey IN "
+            "(SELECT c_custkey FROM customer WHERE c_custkey % 5 = 0)"),
+        "exact_dedup": (
+            "SELECT count(*) AS n_docs, count(DISTINCT text) AS n_distinct "
+            "FROM documents"),
+        "token_stats": (
+            "SELECT lang, count(*) AS n_docs, "
+            "CAST(sum(CASE WHEN trim(text) = '' THEN 0 ELSE "
+            "len(regexp_split_to_array(trim(text), '\\s+')) END) AS BIGINT) "
+            "AS sum_tokens "
+            "FROM documents GROUP BY lang ORDER BY lang"),
+        "bpe_tokens": (
+            "SELECT CAST(sum(len(regexp_extract_all(text, "
+            "'[A-Za-z0-9]+|[^A-Za-z0-9\\s]'))) AS BIGINT) AS total_bpe_tokens "
+            "FROM documents"),
+        "quality_buckets": (
+            "SELECT CAST(floor(length(text) / 100) AS BIGINT) AS bucket, "
+            "count(*) AS n_docs FROM documents GROUP BY 1 ORDER BY 1"),
+        "lang_distribution": (
+            "SELECT lang, count(*) AS n FROM documents GROUP BY lang "
+            "ORDER BY lang"),
+        "fingerprints": (
+            "SELECT doc_id, md5(text) AS fingerprint FROM documents "
+            "ORDER BY fingerprint LIMIT 10"),
+        "ann_topk": (
+            "SELECT CAST(row_number() OVER "
+            "(ORDER BY list_cosine_similarity(embedding, "
+            "(SELECT embedding FROM embeddings WHERE vec_id = 3)) DESC, vec_id) "
+            "AS INT) AS rank, vec_id FROM embeddings "
+            "ORDER BY rank LIMIT 5"),
+        "pricing_summary": (
+            "SELECT l_returnflag, l_linestatus, count(*) AS n_rows, "
+            "CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty "
+            "FROM lineitem "
+            "GROUP BY l_returnflag, l_linestatus "
+            "ORDER BY l_returnflag, l_linestatus"),
+        "events_by_type": (
+            "SELECT event_type, count(*) AS n_events, "
+            "count(DISTINCT user_id) AS n_users FROM events "
+            "GROUP BY event_type ORDER BY event_type"),
+    }

@@ -1,0 +1,142 @@
+#!/usr/bin/env python
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default
+sf0.1) on local[$SPARK_GRAFT_CPUS].  Prints ONE JSON line:
+
+    {"metric": ..., "value": total_sec, "unit": "sec",
+     "queries": {name: sec, ...}, "sf": ...,
+     "throughput": {...}, "parallelism": N}
+
+The headline metric mirrors BASELINE.json: binary-fuse8 construction
+throughput (keys/sec) over the url-key stream, plus contain-probe q/s,
+sketch aggregation, dedup and ANN timings.  Reference single-thread
+numbers to beat: fuse8 build ~27.9M keys/s, probe ~8.1M q/s
+(/root/reference/README.md:176-201) — our per-core kernel is slower
+(numpy vs C) but parallel construction across shards and Arrow-batched
+probes recover it at the job level.
+
+Run directly: PYTHONPATH=. python bench.py
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    sf_label = sf_dir.rstrip("/").split("sf")[-1]
+
+    from pyspark.sql import SparkSession, functions as F
+    spark = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName("fastfilter-bench")
+        .config("spark.sql.shuffle.partitions", str(cpus))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "262144")
+        .config("spark.driver.memory", "8g")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    from fastfilter_spark.operators.dist import build_sharded
+    from fastfilter_spark.operators.sketch_agg import (
+        cms_sketch, hll_count_distinct, kll_quantiles)
+    from fastfilter_spark.operators.similarity import brute_force_topk
+    from fastfilter_spark.operators.dedup import minhash_dedup_pairs
+    from fastfilter_spark.sources.webpages import synthesize_webpages, url_keys
+
+    timings: dict[str, float] = {}
+    throughput: dict[str, float] = {}
+
+    def timed(name: str, fn):
+        t0 = time.perf_counter()
+        out = fn()
+        timings[name] = round(time.perf_counter() - t0, 3)
+        return out
+
+    lineitem = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    lineitem.count()  # warm FS cache / JVM
+
+    # 1. headline: fuse8 construction over a synthesized url-key stream
+    n_pages = 2_000_000 if sf_label == "0.1" else 200_000
+    wp_keys = url_keys(synthesize_webpages(spark, n_pages, seed=42)) \
+        .persist()
+    n_keys = wp_keys.count()
+
+    def build_urls():
+        sfilter, _ = build_sharded(wp_keys, "key", kind="fuse8",
+                                   shard_bits=4)
+        return sfilter
+
+    sfilter = timed("fuse8_build_urls", build_urls)
+    throughput["fuse8_build_keys_per_sec"] = round(
+        n_keys / timings["fuse8_build_urls"], 1)
+
+    # 2. headline: contain-probe throughput over the same keys
+    contains = sfilter.contains_udf(spark)
+
+    def probe():
+        return wp_keys.where(contains(F.col("key"))).count()
+
+    n_pass = timed("fuse8_probe_urls", probe)
+    throughput["fuse8_probe_keys_per_sec"] = round(
+        n_keys / timings["fuse8_probe_urls"], 1)
+    assert n_pass == n_keys, "false negatives detected"
+    wp_keys.unpersist()
+
+    # 3. filter build over parquet keys (scan -> shuffle -> build)
+    timed("fuse8_build_lineitem",
+          lambda: build_sharded(lineitem, "l_orderkey", kind="fuse8",
+                                shard_bits=2))
+    timed("xor8_build_lineitem",
+          lambda: build_sharded(lineitem, "l_orderkey", kind="xor8",
+                                shard_bits=2))
+
+    # 4. sketches
+    timed("hll_distinct", lambda: hll_count_distinct(lineitem, "l_orderkey"))
+    timed("kll_quantiles",
+          lambda: kll_quantiles(lineitem, "l_extendedprice", [0.1, 0.5, 0.9]))
+    timed("cms_sketch", lambda: cms_sketch(lineitem, "l_suppkey"))
+
+    # 5. dedup over documents
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet") \
+        .select("doc_id", "text")
+    timed("minhash_dedup",
+          lambda: minhash_dedup_pairs(docs, threshold=0.8, n_hashes=64,
+                                      bands=16).count())
+
+    # 6. ANN over embeddings
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qvec = list(emb.limit(1).collect()[0]["embedding"])
+    timed("ann_topk", lambda: brute_force_topk(emb, qvec, k=10).collect())
+
+    # 7. relational demo
+    timed("pricing_summary",
+          lambda: lineitem.groupBy("l_returnflag", "l_linestatus")
+          .agg(F.count("*").alias("n"),
+               F.sum(F.col("l_quantity").cast("long")).alias("q")).collect())
+
+    total = round(sum(timings.values()), 3)
+    print(json.dumps({
+        "metric": "fuse8 construction+probe over url keys (headline) "
+                  "+ operator suite wall time",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf_label) if sf_label.replace(".", "").isdigit() else sf_label,
+        "throughput": throughput,
+        "parallelism": cpus,
+        "n_url_keys": n_keys,
+    }))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -204,6 +204,36 @@ def fuse_index_triple_exact(
     return tuple(out)
 
 
+_XXP1 = 0x9E3779B185EBCA87
+_XXP2 = 0xC2B2AE3D27D4EB4F
+_XXP3 = 0x165667B19E3779F9
+_XXP4 = 0x85EBCA77C2B2AE63
+_XXP5 = 0x27D4EB2F165667C5
+
+
+def xxhash64_long(values: np.ndarray, seed: int = 42) -> np.ndarray:
+    """XXH64 of a single 8-byte little-endian long — bit-identical to
+    Spark's ``F.xxhash64(longCol)`` (default seed 42).
+
+    Implemented from the published XXH64 specification for the one-block
+    case; lets shard routing run JVM-side (no Python in the build path)
+    while the probe side reproduces the same routing in numpy.
+    """
+    v = to_uint64(np.asarray(values))
+    k1 = v * _XXP2
+    k1 = (k1 << np.uint64(31)) | (k1 >> np.uint64(33))
+    k1 *= np.uint64(_XXP1)
+    h = np.uint64((seed + _XXP5 + 8) & MASK64) ^ k1
+    h = ((h << np.uint64(27)) | (h >> np.uint64(37))) * np.uint64(_XXP1) \
+        + np.uint64(_XXP4)
+    h ^= h >> np.uint64(33)
+    h *= np.uint64(_XXP2)
+    h ^= h >> np.uint64(29)
+    h *= np.uint64(_XXP3)
+    h ^= h >> np.uint64(32)
+    return h
+
+
 def to_uint64(arr) -> np.ndarray:
     """Coerce an int64/uint64/object array (e.g. from Arrow) to np.uint64
     preserving the two's-complement bit pattern."""

@@ -1,0 +1,245 @@
+"""Optional native (C) kernel loader for the filter hot loops.
+
+Compiles fastfilter_spark/native/ffkernel.c on first use with the system
+C compiler into a content-addressed cached .so (atomic rename, safe for
+concurrent executor python workers on one host) and exposes thin
+ctypes wrappers.  Everything degrades gracefully: if no compiler / the
+compile fails, ``get_kernel()`` returns None and callers fall back to
+the numpy implementations in operators/local.py.  The two paths are
+differential-tested (tests/test_native.py) — probes agree bit-for-bit,
+builds succeed on identical seed chains (any valid peel order yields a
+correct filter; see operators/local.py module docstring).
+"""
+
+from __future__ import annotations
+
+import ctypes
+import hashlib
+import os
+import subprocess
+import tempfile
+
+import numpy as np
+
+_SRC = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                    "native", "ffkernel.c")
+_kernel = None
+_tried = False
+
+_c_u64p = ctypes.POINTER(ctypes.c_uint64)
+_c_i32p = ctypes.POINTER(ctypes.c_int32)
+_c_u8p = ctypes.POINTER(ctypes.c_uint8)
+_c_u16p = ctypes.POINTER(ctypes.c_uint16)
+_c_u32p = ctypes.POINTER(ctypes.c_uint32)
+
+
+def _ptr(arr: np.ndarray, ctype):
+    return arr.ctypes.data_as(ctype)
+
+
+def _compile() -> str | None:
+    with open(_SRC, "rb") as f:
+        src = f.read()
+    tag = hashlib.sha256(src).hexdigest()[:16]
+    cache_dir = os.path.join(
+        os.environ.get("XDG_CACHE_HOME", os.path.expanduser("~/.cache")),
+        "fastfilter_spark")
+    so_path = os.path.join(cache_dir, f"ffkernel-{tag}.so")
+    if os.path.exists(so_path):
+        return so_path
+    os.makedirs(cache_dir, exist_ok=True)
+    fd, tmp = tempfile.mkstemp(suffix=".so", dir=cache_dir)
+    os.close(fd)
+    try:
+        subprocess.run(
+            ["cc", "-O3", "-march=native", "-funroll-loops", "-shared", "-fPIC", "-o", tmp, _SRC],
+            check=True, capture_output=True, timeout=120)
+        os.rename(tmp, so_path)  # atomic on one filesystem
+        return so_path
+    except Exception:
+        try:
+            os.unlink(tmp)
+        except OSError:
+            pass
+        return None
+
+
+class _Kernel:
+    """ctypes facade over the compiled kernel.
+
+    Scratch and output buffers come from a grow-only per-process pool:
+    numpy munmaps large arrays on free, so fresh allocations re-fault
+    hundreds of MB of pages on every build.  Pooled arrays returned by
+    these methods are VALID UNTIL THE NEXT CALL of the same method on
+    this process — exactly the per-attempt lifetime the build loop in
+    operators/local.py needs (anything that must survive, e.g. the
+    fingerprint array, is allocated by the caller).
+    """
+
+    def __init__(self, lib: ctypes.CDLL):
+        self.lib = lib
+        self._pool: dict[str, np.ndarray] = {}
+
+    def _buf(self, name: str, n: int, dtype) -> np.ndarray:
+        a = self._pool.get(name)
+        if a is None or a.size < n or a.dtype != np.dtype(dtype):
+            a = np.empty(max(n, 1), dtype=dtype)
+            self._pool[name] = a
+        return a[:n]
+
+    # ---- index computation ----
+
+    def fuse_index(self, keys: np.ndarray, seed: int, seg_len: int,
+                   seg_cnt_len: int):
+        n = keys.size
+        keys = np.ascontiguousarray(keys, dtype=np.uint64)
+        mixed = self._buf("mixed", n, np.uint64)
+        g0 = self._buf("g0", n, np.int32)
+        g1 = self._buf("g1", n, np.int32)
+        g2 = self._buf("g2", n, np.int32)
+        self.lib.ff_fuse_index(
+            _ptr(keys, _c_u64p), ctypes.c_int64(n),
+            ctypes.c_uint64(seed), ctypes.c_uint32(seg_len),
+            ctypes.c_uint32(seg_cnt_len),
+            _ptr(mixed, _c_u64p), _ptr(g0, _c_i32p), _ptr(g1, _c_i32p),
+            _ptr(g2, _c_i32p))
+        return mixed, g0, g1, g2
+
+    def fuse_index_sorted(self, keys: np.ndarray, seed: int, seg_len: int,
+                          seg_cnt_len: int, seg_cnt: int):
+        """Mixed hashes in segment order + cell indices (locality-optimal
+        layout for accumulate/peel/assign)."""
+        n = keys.size
+        keys = np.ascontiguousarray(keys, dtype=np.uint64)
+        tmp = self._buf("tmp", n, np.uint64)
+        bucket_pos = self._buf("bucket_pos", seg_cnt + 2, np.int64)
+        mixed = self._buf("mixed", n, np.uint64)
+        g0 = self._buf("g0", n, np.int32)
+        g1 = self._buf("g1", n, np.int32)
+        g2 = self._buf("g2", n, np.int32)
+        self.lib.ff_fuse_index_sorted(
+            _ptr(keys, _c_u64p), ctypes.c_int64(n), ctypes.c_uint64(seed),
+            ctypes.c_uint32(seg_len), ctypes.c_uint32(seg_cnt_len),
+            ctypes.c_uint32(seg_cnt),
+            _ptr(tmp, _c_u64p), _ptr(bucket_pos, ctypes.POINTER(ctypes.c_int64)),
+            _ptr(mixed, _c_u64p), _ptr(g0, _c_i32p), _ptr(g1, _c_i32p),
+            _ptr(g2, _c_i32p))
+        return mixed, g0, g1, g2
+
+    def fuse_index_pre(self, mixed: np.ndarray, seg_len: int,
+                       seg_cnt_len: int):
+        n = mixed.size
+        mixed = np.ascontiguousarray(mixed, dtype=np.uint64)
+        g0 = self._buf("g0", n, np.int32)
+        g1 = self._buf("g1", n, np.int32)
+        g2 = self._buf("g2", n, np.int32)
+        self.lib.ff_fuse_index_pre(
+            _ptr(mixed, _c_u64p), ctypes.c_int64(n),
+            ctypes.c_uint32(seg_len), ctypes.c_uint32(seg_cnt_len),
+            _ptr(g0, _c_i32p), _ptr(g1, _c_i32p), _ptr(g2, _c_i32p))
+        return g0, g1, g2
+
+    def xor_index(self, keys: np.ndarray, seed: int, block_length: int):
+        n = keys.size
+        keys = np.ascontiguousarray(keys, dtype=np.uint64)
+        mixed = self._buf("mixed", n, np.uint64)
+        g0 = self._buf("g0", n, np.int32)
+        g1 = self._buf("g1", n, np.int32)
+        g2 = self._buf("g2", n, np.int32)
+        self.lib.ff_xor_index(
+            _ptr(keys, _c_u64p), ctypes.c_int64(n), ctypes.c_uint64(seed),
+            ctypes.c_uint32(block_length),
+            _ptr(mixed, _c_u64p), _ptr(g0, _c_i32p), _ptr(g1, _c_i32p),
+            _ptr(g2, _c_i32p))
+        return mixed, g0, g1, g2
+
+    def xor_index_pre(self, mixed: np.ndarray, block_length: int):
+        n = mixed.size
+        mixed = np.ascontiguousarray(mixed, dtype=np.uint64)
+        g0 = self._buf("g0", n, np.int32)
+        g1 = self._buf("g1", n, np.int32)
+        g2 = self._buf("g2", n, np.int32)
+        self.lib.ff_xor_index_pre(
+            _ptr(mixed, _c_u64p), ctypes.c_int64(n),
+            ctypes.c_uint32(block_length),
+            _ptr(g0, _c_i32p), _ptr(g1, _c_i32p), _ptr(g2, _c_i32p))
+        return g0, g1, g2
+
+    # ---- peel + assign ----
+
+    def peel(self, n_cells: int, g0: np.ndarray, g1: np.ndarray,
+             g2: np.ndarray):
+        """Returns (order, ocell, n_peeled)."""
+        n = g0.size
+        state = self._buf("state", n_cells, np.int64)
+        order = self._buf("order", n, np.int32)
+        ocell = self._buf("ocell", n, np.int32)
+        queue = self._buf("queue", n_cells, np.int32)
+        np_peeled = self.lib.ff_peel(
+            ctypes.c_int64(n), ctypes.c_int64(n_cells),
+            _ptr(g0, _c_i32p), _ptr(g1, _c_i32p), _ptr(g2, _c_i32p),
+            _ptr(state, ctypes.POINTER(ctypes.c_int64)),
+            _ptr(order, _c_i32p), _ptr(ocell, _c_i32p),
+            _ptr(queue, _c_i32p))
+        return order, ocell, int(np_peeled)
+
+    def assign(self, n_peeled: int, order, ocell, mixed, g0, g1, g2,
+               fp: np.ndarray):
+        fn = {1: self.lib.ff_assign8, 2: self.lib.ff_assign16,
+              4: self.lib.ff_assign32}[fp.itemsize]
+        fptr = {1: _c_u8p, 2: _c_u16p, 4: _c_u32p}[fp.itemsize]
+        fn(ctypes.c_int64(n_peeled), _ptr(order, _c_i32p),
+           _ptr(ocell, _c_i32p), _ptr(mixed, _c_u64p),
+           _ptr(g0, _c_i32p), _ptr(g1, _c_i32p), _ptr(g2, _c_i32p),
+           _ptr(fp, fptr))
+
+    # ---- probes ----
+
+    def fuse_contain(self, keys: np.ndarray, seed: int, seg_len: int,
+                     seg_cnt_len: int, fp: np.ndarray) -> np.ndarray:
+        n = keys.size
+        keys = np.ascontiguousarray(keys, dtype=np.uint64)
+        fp = np.ascontiguousarray(fp)
+        out = np.empty(n, dtype=np.uint8)
+        fn = {1: self.lib.ff_fuse_contain8, 2: self.lib.ff_fuse_contain16,
+              4: self.lib.ff_fuse_contain32}[fp.itemsize]
+        fptr = {1: _c_u8p, 2: _c_u16p, 4: _c_u32p}[fp.itemsize]
+        fn(_ptr(keys, _c_u64p), ctypes.c_int64(n), ctypes.c_uint64(seed),
+           ctypes.c_uint32(seg_len), ctypes.c_uint32(seg_cnt_len),
+           _ptr(fp, fptr), _ptr(out, _c_u8p))
+        return out.astype(bool)
+
+    def xor_contain(self, keys: np.ndarray, seed: int, block_length: int,
+                    fp: np.ndarray) -> np.ndarray:
+        n = keys.size
+        keys = np.ascontiguousarray(keys, dtype=np.uint64)
+        fp = np.ascontiguousarray(fp)
+        out = np.empty(n, dtype=np.uint8)
+        fn = {1: self.lib.ff_xor_contain8,
+              2: self.lib.ff_xor_contain16}[fp.itemsize]
+        fptr = {1: _c_u8p, 2: _c_u16p}[fp.itemsize]
+        fn(_ptr(keys, _c_u64p), ctypes.c_int64(n), ctypes.c_uint64(seed),
+           ctypes.c_uint32(block_length), _ptr(fp, fptr), _ptr(out, _c_u8p))
+        return out.astype(bool)
+
+
+def get_kernel() -> _Kernel | None:
+    """Compile-and-load once per process; None if unavailable.  Disable
+    explicitly with FASTFILTER_NO_NATIVE=1 (tests use this to exercise
+    the numpy fallback)."""
+    global _kernel, _tried
+    if _tried:
+        return _kernel
+    _tried = True
+    if os.environ.get("FASTFILTER_NO_NATIVE"):
+        return None
+    try:
+        so = _compile()
+        if so is None:
+            return None
+        lib = ctypes.CDLL(so)
+        lib.ff_peel.restype = ctypes.c_int64
+        _kernel = _Kernel(lib)
+    except Exception:
+        _kernel = None
+    return _kernel

@@ -1,0 +1,242 @@
+/* fastfilter_spark native kernel: hot loops for filter construction and
+ * membership probes.
+ *
+ * From-scratch implementation of the standard xor/binary-fuse building
+ * blocks (murmur3 finalizer mixing, Lemire range reduction, 3-regular
+ * hypergraph peeling); the algorithmic contract matches the reference
+ * library (FastFilter/xor_singleheader — see SURVEY.md §2 for the
+ * file:line inventory) but the code is written independently for the
+ * ctypes boundary: Python owns allocation, seeding and the retry chain,
+ * C owns the per-attempt O(n) loops.
+ *
+ * Compiled on demand by fastfilter_spark/functions/native.py with
+ * `cc -O2 -shared -fPIC`; everything is optional — the numpy kernels in
+ * operators/local.py are the portable fallback and the two paths are
+ * differential-tested against each other (tests/test_native.py).
+ */
+
+#include <stdint.h>
+#include <string.h>
+
+static inline uint64_t mm64(uint64_t v) {
+    v ^= v >> 33;
+    v *= 0xFF51AFD7ED558CCDULL;
+    v ^= v >> 33;
+    v *= 0xC4CEB9FE1A85EC53ULL;
+    v ^= v >> 33;
+    return v;
+}
+
+static inline uint64_t rot64(uint64_t v, int s) {
+    return (v << s) | (v >> (64 - s));
+}
+
+static inline uint32_t lemire_reduce(uint32_t v, uint32_t range) {
+    return (uint32_t)(((uint64_t)v * (uint64_t)range) >> 32);
+}
+
+/* ---- per-attempt hash + cell-index computation ------------------------ */
+
+/* binary fuse: writes the three global cell indices and the mixed hash
+ * per key.  seg_len_mask = segment_length - 1. */
+void ff_fuse_index(const uint64_t *keys, int64_t n, uint64_t seed,
+                   uint32_t segment_length, uint32_t seg_count_length,
+                   uint64_t *mixed, int32_t *g0, int32_t *g1, int32_t *g2) {
+    uint32_t mask = segment_length - 1;
+    for (int64_t i = 0; i < n; i++) {
+        uint64_t h = mm64(keys[i] + seed);
+        mixed[i] = h;
+        uint32_t a = (uint32_t)(((unsigned __int128)h * seg_count_length) >> 64);
+        uint32_t b = a + segment_length;
+        uint32_t c = a + 2 * segment_length;
+        b ^= (uint32_t)(h >> 18) & mask;
+        c ^= (uint32_t)h & mask;
+        g0[i] = (int32_t)a;
+        g1[i] = (int32_t)b;
+        g2[i] = (int32_t)c;
+    }
+}
+
+/* xor filter: three block-local indices offset into 3 contiguous blocks. */
+void ff_xor_index(const uint64_t *keys, int64_t n, uint64_t seed,
+                  uint32_t block_length,
+                  uint64_t *mixed, int32_t *g0, int32_t *g1, int32_t *g2) {
+    for (int64_t i = 0; i < n; i++) {
+        uint64_t h = mm64(keys[i] + seed);
+        mixed[i] = h;
+        g0[i] = (int32_t)lemire_reduce((uint32_t)h, block_length);
+        g1[i] = (int32_t)(lemire_reduce((uint32_t)rot64(h, 21), block_length)
+                          + block_length);
+        g2[i] = (int32_t)(lemire_reduce((uint32_t)rot64(h, 42), block_length)
+                          + 2 * block_length);
+    }
+}
+
+/* Segment-ordered variant: counting-sorts the mixed hashes by their h0
+ * segment before computing indices, so the accumulate/peel/assign loops
+ * touch cells in a sliding ~3-segment window instead of randomly across
+ * the whole array — the cache-locality technique that makes binary-fuse
+ * construction fast (cf. SURVEY.md §4.1).  h0 = mulhi(h, scl) is
+ * monotone in h, so bucketing by h0/segment_length yields ascending g0.
+ * tmp is caller-provided uint64 scratch of n; bucket_pos is int64
+ * scratch of (seg_count+2). */
+void ff_fuse_index_sorted(const uint64_t *keys, int64_t n, uint64_t seed,
+                          uint32_t segment_length, uint32_t seg_count_length,
+                          uint32_t segment_count,
+                          uint64_t *tmp, int64_t *bucket_pos,
+                          uint64_t *mixed, int32_t *g0, int32_t *g1,
+                          int32_t *g2) {
+    uint32_t mask = segment_length - 1;
+    int log2sl = 0;
+    while ((1u << log2sl) < segment_length) log2sl++;
+    int64_t nbuckets = segment_count;
+    for (int64_t b = 0; b <= nbuckets; b++) bucket_pos[b] = 0;
+    for (int64_t i = 0; i < n; i++) {
+        uint64_t h = mm64(keys[i] + seed);
+        tmp[i] = h;
+        uint32_t a = (uint32_t)(((unsigned __int128)h * seg_count_length) >> 64);
+        bucket_pos[(a >> log2sl) + 1]++;
+    }
+    for (int64_t b = 1; b <= nbuckets; b++) bucket_pos[b] += bucket_pos[b - 1];
+    for (int64_t i = 0; i < n; i++) {
+        uint64_t h = tmp[i];
+        uint32_t a = (uint32_t)(((unsigned __int128)h * seg_count_length) >> 64);
+        mixed[bucket_pos[a >> log2sl]++] = h;
+    }
+    for (int64_t i = 0; i < n; i++) {
+        uint64_t h = mixed[i];
+        uint32_t a = (uint32_t)(((unsigned __int128)h * seg_count_length) >> 64);
+        g0[i] = (int32_t)a;
+        g1[i] = (int32_t)((a + segment_length) ^ ((uint32_t)(h >> 18) & mask));
+        g2[i] = (int32_t)((a + 2 * segment_length) ^ ((uint32_t)h & mask));
+    }
+}
+
+/* Index-only variants over already-mixed hashes (used on the
+ * duplicate-retry path, where Python dedups the mixed hash array). */
+void ff_fuse_index_pre(const uint64_t *mixed, int64_t n,
+                       uint32_t segment_length, uint32_t seg_count_length,
+                       int32_t *g0, int32_t *g1, int32_t *g2) {
+    uint32_t mask = segment_length - 1;
+    for (int64_t i = 0; i < n; i++) {
+        uint64_t h = mixed[i];
+        uint32_t a = (uint32_t)(((unsigned __int128)h * seg_count_length) >> 64);
+        g0[i] = (int32_t)a;
+        g1[i] = (int32_t)((a + segment_length) ^ ((uint32_t)(h >> 18) & mask));
+        g2[i] = (int32_t)((a + 2 * segment_length) ^ ((uint32_t)h & mask));
+    }
+}
+
+void ff_xor_index_pre(const uint64_t *mixed, int64_t n, uint32_t block_length,
+                      int32_t *g0, int32_t *g1, int32_t *g2) {
+    for (int64_t i = 0; i < n; i++) {
+        uint64_t h = mixed[i];
+        g0[i] = (int32_t)lemire_reduce((uint32_t)h, block_length);
+        g1[i] = (int32_t)(lemire_reduce((uint32_t)rot64(h, 21), block_length)
+                          + block_length);
+        g2[i] = (int32_t)(lemire_reduce((uint32_t)rot64(h, 42), block_length)
+                          + 2 * block_length);
+    }
+}
+
+/* ---- peel ------------------------------------------------------------- */
+
+/* Sequential queue peel of the 3-regular hypergraph.
+ *
+ * Per cell: key_count and the XOR of incident row ids (when count==1 the
+ * xor IS the remaining row).  Emits rows/cells in peel order; returns the
+ * number peeled (== n on success).  order/ocell must hold n entries;
+ * scratch int32 arrays counts/rowxor must hold m entries (zeroed here).
+ */
+int64_t ff_peel(int64_t n, int64_t m,
+                const int32_t *g0, const int32_t *g1, const int32_t *g2,
+                int64_t *state,  /* m entries: count<<32 | rowxor */
+                int32_t *order, int32_t *ocell, int32_t *queue) {
+    const int64_t ONE = (int64_t)1 << 32;
+    memset(state, 0, (size_t)m * sizeof(int64_t));
+    for (int64_t i = 0; i < n; i++) {
+        state[g0[i]] += ONE; state[g0[i]] ^= (uint32_t)i;
+        state[g1[i]] += ONE; state[g1[i]] ^= (uint32_t)i;
+        state[g2[i]] += ONE; state[g2[i]] ^= (uint32_t)i;
+    }
+    int64_t qhead = 0, qtail = 0;
+    for (int64_t c = 0; c < m; c++)
+        if ((state[c] >> 32) == 1) queue[qtail++] = (int32_t)c;
+    int64_t np = 0;
+    while (qhead < qtail) {
+        int32_t cell = queue[qhead++];
+        int64_t st = state[cell];
+        if ((st >> 32) != 1) continue;
+        int32_t row = (int32_t)(uint32_t)st;
+        order[np] = row;
+        ocell[np] = cell;
+        np++;
+        int32_t cs[3] = { g0[row], g1[row], g2[row] };
+        for (int k = 0; k < 3; k++) {
+            int32_t c2 = cs[k];
+            int64_t s2 = (state[c2] - ONE) ^ (uint32_t)row;
+            state[c2] = s2;
+            if ((s2 >> 32) == 1) queue[qtail++] = c2;
+        }
+    }
+    return np;
+}
+
+/* ---- fingerprint assignment (reverse peel order) ---------------------- */
+
+#define ASSIGN_IMPL(NAME, T)                                             \
+void NAME(int64_t np, const int32_t *order, const int32_t *ocell,        \
+          const uint64_t *mixed,                                         \
+          const int32_t *g0, const int32_t *g1, const int32_t *g2,       \
+          T *fp) {                                                       \
+    for (int64_t i = np - 1; i >= 0; i--) {                              \
+        int32_t row = order[i];                                          \
+        uint64_t h = mixed[row];                                         \
+        T v = (T)(h ^ (h >> 32));                                        \
+        v ^= fp[g0[row]] ^ fp[g1[row]] ^ fp[g2[row]];                    \
+        fp[ocell[i]] = v;                                                \
+    }                                                                    \
+}
+
+ASSIGN_IMPL(ff_assign8, uint8_t)
+ASSIGN_IMPL(ff_assign16, uint16_t)
+ASSIGN_IMPL(ff_assign32, uint32_t)
+
+/* ---- membership probes ------------------------------------------------ */
+
+#define FUSE_CONTAIN_IMPL(NAME, T)                                       \
+void NAME(const uint64_t *keys, int64_t n, uint64_t seed,                \
+          uint32_t segment_length, uint32_t seg_count_length,            \
+          const T *fp, uint8_t *out) {                                   \
+    uint32_t mask = segment_length - 1;                                  \
+    for (int64_t i = 0; i < n; i++) {                                    \
+        uint64_t h = mm64(keys[i] + seed);                               \
+        T f = (T)(h ^ (h >> 32));                                        \
+        uint32_t a = (uint32_t)(((unsigned __int128)h * seg_count_length) >> 64); \
+        uint32_t b = (a + segment_length) ^ ((uint32_t)(h >> 18) & mask);\
+        uint32_t c = (a + 2 * segment_length) ^ ((uint32_t)h & mask);    \
+        out[i] = (uint8_t)((T)(f ^ fp[a] ^ fp[b] ^ fp[c]) == 0);         \
+    }                                                                    \
+}
+
+FUSE_CONTAIN_IMPL(ff_fuse_contain8, uint8_t)
+FUSE_CONTAIN_IMPL(ff_fuse_contain16, uint16_t)
+FUSE_CONTAIN_IMPL(ff_fuse_contain32, uint32_t)
+
+#define XOR_CONTAIN_IMPL(NAME, T)                                        \
+void NAME(const uint64_t *keys, int64_t n, uint64_t seed,                \
+          uint32_t block_length, const T *fp, uint8_t *out) {            \
+    for (int64_t i = 0; i < n; i++) {                                    \
+        uint64_t h = mm64(keys[i] + seed);                               \
+        T f = (T)(h ^ (h >> 32));                                        \
+        uint32_t a = lemire_reduce((uint32_t)h, block_length);           \
+        uint32_t b = lemire_reduce((uint32_t)rot64(h, 21), block_length) \
+                     + block_length;                                     \
+        uint32_t c = lemire_reduce((uint32_t)rot64(h, 42), block_length) \
+                     + 2 * block_length;                                 \
+        out[i] = (uint8_t)((T)(f ^ fp[a] ^ fp[b] ^ fp[c]) == 0);         \
+    }                                                                    \
+}
+
+XOR_CONTAIN_IMPL(ff_xor_contain8, uint8_t)
+XOR_CONTAIN_IMPL(ff_xor_contain16, uint16_t)

@@ -183,6 +183,10 @@ def lsh_candidates(df: DataFrame, id_col: str = "doc_id",
     """
     sig = minhash_signature_fast_udf(n_hashes, shingle_k)
     uniq = exact_dedup(df.select(id_col, text_col), text_col)
+    # AQE coalesces the small post-dedup shuffle to 1 partition, which
+    # would serialize the (CPU-heavy) signature UDF — spread it back out
+    par = df.sparkSession.sparkContext.defaultParallelism
+    uniq = uniq.repartition(par)
     signed = uniq.withColumn("_sig", sig(F.col(text_col))) \
         .select(id_col, "_sig",
                 F.posexplode(band_hashes(F.col("_sig"), n_hashes, bands))
@@ -259,7 +263,9 @@ def simhash_pairs(df: DataFrame, id_col: str = "doc_id",
     n_bands = max_hamming + 1
     width = 64 // n_bands
     sh = simhash_udf(shingle_k)
+    par = df.sparkSession.sparkContext.defaultParallelism
     base = exact_dedup(df.select(id_col, text_col), text_col) \
+        .repartition(par) \
         .withColumn("_sh", sh(F.col(text_col))).select(id_col, "_sh")
     chunks = base.select(
         id_col, "_sh",

@@ -64,6 +64,11 @@ from pyspark.sql.types import (
 from fastfilter_spark.functions import kernels as K
 from fastfilter_spark.operators.local import build_filter, filter_from_bytes
 
+# Worker-process-global cache of deserialized shard filters (see
+# ShardedFilter.contains_udf); python workers are reused across tasks, so
+# this amortizes deserialization to once per worker per filter.
+_worker_filter_cache: dict = {}
+
 # One row per shard; `payload` is the reference wire format (to_bytes).
 FILTER_TABLE_SCHEMA = StructType([
     StructField("shard", IntegerType(), False),
@@ -79,16 +84,18 @@ FILTER_TABLE_SCHEMA = StructType([
 
 
 def shard_of_hash(keys_u64: np.ndarray, shard_bits: int) -> np.ndarray:
-    """Shard id = top ``shard_bits`` bits of murmur64(key).
+    """Shard id = pmod(xxhash64(key), 2^shard_bits).
 
-    Unseeded and independent of the per-shard splitmix build seeds
-    (which mix the key *before* murmur, xorfilter.h:55-57), so routing
-    never correlates with construction success.
+    xxhash64 because Spark has it as a JVM built-in — the build path
+    computes the shard column with zero Python (see keys_with_shard) —
+    and kernels.xxhash64_long reproduces it bit-identically for
+    probe-side routing.  Independent of the per-shard splitmix build
+    seeds, so routing never correlates with construction success.
     """
     if shard_bits == 0:
         return np.zeros(len(keys_u64), dtype=np.int32)
-    h = K.murmur64(np.asarray(keys_u64, dtype=np.uint64))
-    return (h >> (64 - shard_bits)).astype(np.int32)
+    h = K.xxhash64_long(np.asarray(keys_u64)).view(np.int64)
+    return (h % (1 << shard_bits)).astype(np.int32)  # numpy % is pmod
 
 
 def choose_shard_bits(approx_distinct: int, target_keys_per_shard: int = 1 << 22,
@@ -106,12 +113,18 @@ def choose_shard_bits(approx_distinct: int, target_keys_per_shard: int = 1 << 22
 
 
 def _build_shard_kernel(kind: str, num_shards: int):
-    """Grouped-map kernel: one shard's keys -> one filter-table row.
+    """Grouped-map kernel: one shard's keys -> np.unique dedup -> exact
+    reference populate (operators/local.py) -> one filter-table row.
 
-    Runs the exact reference populate (operators/local.py) after an
-    in-kernel ``np.unique`` dedup — the Spark-scale replacement for the
-    reference's lazy sort-and-dedup (xorfilter.h:24-34; the duplicate-
-    tolerance path itself is still implemented and tested in local.py).
+    np.unique both dedups (the Spark-scale replacement for the
+    reference's lazy sort-and-dedup, xorfilter.h:24-34; the in-kernel
+    duplicate-tolerance path is still implemented and tested in local.py)
+    and makes the key order — hence the filter bytes — independent of
+    partition/arrival order.
+
+    (A packed-binary-chunk shuffle variant was measured and REJECTED: it
+    moves the same bytes through the Python boundary twice more, and the
+    Arrow columnar shuffle of plain long rows is already cheaper.)
     """
 
     def build(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -134,20 +147,16 @@ def _build_shard_kernel(kind: str, num_shards: int):
 
 
 def keys_with_shard(df: DataFrame, key_col: str, shard_bits: int) -> DataFrame:
-    """Project to (key long, shard int); shard via an Arrow-vectorized UDF.
+    """Project to (key long, shard int) — entirely JVM-side.
 
-    The murmur64 finalizer must match the numpy kernel bit-for-bit; Spark's
-    ``xxhash64`` is a different function and JVM-side long multiplies would
-    raise under ANSI mode, so the 3-instruction finalizer runs as a pandas
-    UDF (Arrow batches, no per-row Python).
+    ``pmod(xxhash64(key), S)`` stays inside whole-stage codegen, so the
+    scan -> project -> shuffle stage never crosses into Python; the only
+    Python in the whole build is the per-shard kernel itself.
     """
-
-    @F.pandas_udf(IntegerType())
-    def shard_udf(s: pd.Series) -> pd.Series:
-        return pd.Series(shard_of_hash(K.to_uint64(s.to_numpy()), shard_bits))
-
-    return df.select(F.col(key_col).cast(LongType()).alias("key")) \
-             .withColumn("shard", shard_udf("key"))
+    return df.select(
+        F.col(key_col).cast(LongType()).alias("key"),
+        F.pmod(F.xxhash64(F.col(key_col).cast(LongType())),
+               F.lit(1 << shard_bits)).cast(IntegerType()).alias("shard"))
 
 
 @dataclass
@@ -200,12 +209,17 @@ class ShardedFilter:
     def contains_udf(self, spark: SparkSession | None = None):
         """Scalar pandas UDF ``long -> boolean`` probing the broadcast filter.
 
-        The shard payload list is broadcast once (torrent distribution) and
-        each executor lazily deserializes payloads to numpy views; a probe
-        batch does 3 gathers + xor + compare per key
+        The shard payload list is broadcast once (torrent distribution).
+        Deserialized filters live in a module-level worker cache keyed by
+        a cheap content fingerprint, so they survive task boundaries —
+        without it every task re-deserializes every shard it touches
+        (keys are hash-distributed, so that is ALL shards x ALL tasks).
+        A probe batch then does 3 gathers + xor + compare per key
         (xorfilter.h:96-108, binaryfusefilter.h:178-187).
         """
         kind, shard_bits = self.kind, self.shard_bits
+        cache_key = (kind, shard_bits, len(self.payloads[0]),
+                     hash(self.payloads[0][:64]), hash(self.payloads[-1][:64]))
         if spark is not None:
             bc = spark.sparkContext.broadcast(self.payloads)
             get_payloads = lambda: bc.value  # noqa: E731
@@ -213,21 +227,18 @@ class ShardedFilter:
             payloads = self.payloads
             get_payloads = lambda: payloads  # noqa: E731
 
-        cache: dict[int, object] = {}
-
         @F.pandas_udf(BooleanType())
         def contains(s: pd.Series) -> pd.Series:
+            filters = _worker_filter_cache.get(cache_key)
+            if filters is None:
+                filters = [filter_from_bytes(p, kind) for p in get_payloads()]
+                _worker_filter_cache[cache_key] = filters
             keys = K.to_uint64(s.to_numpy())
             out = np.zeros(keys.size, dtype=bool)
             shards = shard_of_hash(keys, shard_bits)
-            plist = get_payloads()
             for sh in np.unique(shards):
-                f = cache.get(int(sh))
-                if f is None:
-                    f = filter_from_bytes(plist[int(sh)], kind)
-                    cache[int(sh)] = f
                 m = shards == sh
-                out[m] = f.contain(keys[m])
+                out[m] = filters[sh].contain(keys[m])
             return pd.Series(out)
 
         return contains
@@ -251,9 +262,11 @@ def build_sharded(
 ) -> tuple[ShardedFilter, DataFrame]:
     """Build a sharded filter over ``df[key_col]`` (int64 keys).
 
-    Returns ``(filter, filter_table_df)``.  Plan shape (one shuffle):
+    Returns ``(filter, filter_table_df)``.  Plan shape (one shuffle; the
+    shard column is computed JVM-side inside whole-stage codegen, so no
+    Python runs before the per-shard kernel):
 
-        scan -> select(key) -> pandas-UDF shard id
+        scan -> select(key, shard = pmod(xxhash64(key), S))
              -> groupBy(shard)                       [THE shuffle]
              -> applyInPandas(reference populate)    [one task per shard]
              -> 2^bits tiny rows

@@ -42,6 +42,7 @@ from dataclasses import dataclass
 import numpy as np
 
 from fastfilter_spark.functions import kernels as K
+from fastfilter_spark.functions import native
 
 U64 = np.uint64
 _MASK32 = 0xFFFFFFFF
@@ -243,6 +244,7 @@ class XorFilter:
         rng_state = K.XOR_RNG_START
         rng_state, seed = K.splitmix64(rng_state)
         bl = block_length
+        nat = native.get_kernel()
 
         def triple(hashes):
             h0, h1, h2 = K.xor_index_triple(hashes, bl)
@@ -257,22 +259,33 @@ class XorFilter:
                 size = keys.size
             if iterations > K.XOR_MAX_ITERATIONS:
                 raise ConstructionError("xor populate failed after 100 seeds")
-            hashes = K.mix_split(keys, seed)
-            g0, g1, g2 = triple(hashes)
-            rounds, peeled = _peel(array_length, g0, g1, g2)
+            if nat is not None:
+                hashes, g0, g1, g2 = nat.xor_index(keys, seed, bl)
+                order, ocell, peeled = nat.peel(array_length, g0, g1, g2)
+            else:
+                hashes = K.mix_split(keys, seed)
+                g0, g1, g2 = triple(hashes)
+                rounds, peeled = _peel(array_length, g0, g1, g2)
             if peeled == size:
                 break
             rng_state, seed = K.splitmix64(rng_state)
 
         fp = np.zeros(array_length, dtype=dtype)
-        fp_source = K.fingerprint64(hashes).astype(dtype)
-        _assign_fingerprints(fp, rounds, fp_source, g0, g1, g2)
+        if nat is not None:
+            nat.assign(peeled, order, ocell, hashes, g0, g1, g2, fp)
+        else:
+            fp_source = K.fingerprint64(hashes).astype(dtype)
+            _assign_fingerprints(fp, rounds, fp_source, g0, g1, g2)
         return cls(seed=seed, block_length=block_length, fingerprints=fp,
                    fingerprint_bits=fingerprint_bits)
 
     def contain(self, keys) -> np.ndarray:
         """Vectorized membership probe (xorfilter.h:96-108)."""
         keys = K.to_uint64(keys)
+        nat = native.get_kernel()
+        if nat is not None:
+            return nat.xor_contain(keys, self.seed, self.block_length,
+                                   self.fingerprints)
         hashes = K.mix_split(keys, self.seed)
         dtype = self.fingerprints.dtype
         f = K.fingerprint64(hashes).astype(dtype)
@@ -380,10 +393,21 @@ class FuseFilter:
         mask = seg_len - 1
         rng_state = K.FUSE_RNG_START
         rng_state, seed = K.splitmix64(rng_state)
+        nat = native.get_kernel()
 
         def triple(hashes):
+            if nat is not None:
+                return nat.fuse_index_pre(hashes, seg_len, seg_cnt_len)
             g0, g1, g2 = K.fuse_index_triple(hashes, seg_len, mask, seg_cnt_len)
             return (g0.astype(np.int32), g1.astype(np.int32), g2.astype(np.int32))
+
+        def peel(g0, g1, g2):
+            if nat is not None:
+                order, ocell, peeled = nat.peel(array_length, g0, g1, g2)
+                return (order, ocell), peeled
+            # fail_if_count_ge=64: a cell accumulating 64+ keys would wrap
+            # the reference's 6-bit packed counter (binaryfusefilter.h:374-377)
+            return _peel(array_length, g0, g1, g2, fail_if_count_ge=64)
 
         current = keys
         attempt = 0
@@ -391,11 +415,14 @@ class FuseFilter:
             attempt += 1
             if attempt > K.XOR_MAX_ITERATIONS:
                 raise ConstructionError("fuse populate failed after 100 seeds")
-            hashes = K.mix_split(current, seed)
-            g0, g1, g2 = triple(hashes)
-            # fail_if_count_ge=64: a cell accumulating 64+ keys would wrap the
-            # reference's 6-bit packed counter (binaryfusefilter.h:374-377)
-            rounds, peeled = _peel(array_length, g0, g1, g2, fail_if_count_ge=64)
+            if nat is not None:
+                hashes, g0, g1, g2 = nat.fuse_index_sorted(
+                    current, seed, seg_len, seg_cnt_len, seg_cnt)
+                rounds, peeled = peel(g0, g1, g2)
+            else:
+                hashes = K.mix_split(current, seed)
+                g0, g1, g2 = triple(hashes)
+                rounds, peeled = peel(g0, g1, g2)
             if peeled == hashes.size:
                 break
             # duplicate handling: duplicate keys (identical seeded hashes —
@@ -406,16 +433,19 @@ class FuseFilter:
             if uniq.size < hashes.size:
                 hashes = uniq
                 g0, g1, g2 = triple(hashes)
-                rounds, peeled = _peel(array_length, g0, g1, g2,
-                                       fail_if_count_ge=64)
+                rounds, peeled = peel(g0, g1, g2)
                 if peeled == hashes.size:
                     break
                 current = np.unique(current)  # dedup before next attempt (:430-432)
             rng_state, seed = K.splitmix64(rng_state)
 
         fp = np.zeros(array_length, dtype=dtype)
-        fp_source = K.fingerprint64(hashes).astype(dtype)
-        _assign_fingerprints(fp, rounds, fp_source, g0, g1, g2)
+        if nat is not None:
+            order, ocell = rounds
+            nat.assign(peeled, order, ocell, hashes, g0, g1, g2, fp)
+        else:
+            fp_source = K.fingerprint64(hashes).astype(dtype)
+            _assign_fingerprints(fp, rounds, fp_source, g0, g1, g2)
         return cls(seed=seed, size=size, segment_length=seg_len,
                    segment_count=seg_cnt, segment_count_length=seg_cnt_len,
                    array_length=array_length, fingerprints=fp,
@@ -425,6 +455,11 @@ class FuseFilter:
         """Vectorized probe (binaryfusefilter.h:178-187):
         fingerprint ^ fp[h0] ^ fp[h1] ^ fp[h2] == 0."""
         keys = K.to_uint64(keys)
+        nat = native.get_kernel()
+        if nat is not None:
+            return nat.fuse_contain(keys, self.seed, self.segment_length,
+                                    self.segment_count_length,
+                                    self.fingerprints)
         hashes = K.mix_split(keys, self.seed)
         f = K.fingerprint64(hashes).astype(self.fingerprints.dtype)
         g0, g1, g2 = K.fuse_index_triple(
