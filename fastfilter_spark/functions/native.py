@@ -37,9 +37,20 @@ def _ptr(arr: np.ndarray, ctype):
     return arr.ctypes.data_as(ctype)
 
 
+def _read_source() -> bytes:
+    """Kernel C source — works from a plain checkout AND from a
+    --py-files zip (importlib.resources reads inside the archive)."""
+    try:
+        with open(_SRC, "rb") as f:
+            return f.read()
+    except OSError:
+        from importlib import resources
+        return (resources.files("fastfilter_spark.native") / "ffkernel.c") \
+            .read_bytes()
+
+
 def _compile() -> str | None:
-    with open(_SRC, "rb") as f:
-        src = f.read()
+    src = _read_source()
     tag = hashlib.sha256(src).hexdigest()[:16]
     cache_dir = os.path.join(
         os.environ.get("XDG_CACHE_HOME", os.path.expanduser("~/.cache")),
@@ -50,9 +61,15 @@ def _compile() -> str | None:
     os.makedirs(cache_dir, exist_ok=True)
     fd, tmp = tempfile.mkstemp(suffix=".so", dir=cache_dir)
     os.close(fd)
+    # compile from a materialized copy: _SRC may live inside a
+    # --py-files zip where cc cannot read it
+    fd, tmp_c = tempfile.mkstemp(suffix=".c", dir=cache_dir)
+    with os.fdopen(fd, "wb") as f:
+        f.write(src)
     try:
         subprocess.run(
-            ["cc", "-O3", "-march=native", "-funroll-loops", "-shared", "-fPIC", "-o", tmp, _SRC],
+            ["cc", "-O3", "-march=native", "-funroll-loops", "-shared",
+             "-fPIC", "-o", tmp, tmp_c],
             check=True, capture_output=True, timeout=120)
         os.rename(tmp, so_path)  # atomic on one filesystem
         return so_path
@@ -62,6 +79,11 @@ def _compile() -> str | None:
         except OSError:
             pass
         return None
+    finally:
+        try:
+            os.unlink(tmp_c)
+        except OSError:
+            pass
 
 
 class _Kernel:

@@ -297,8 +297,7 @@ def build_sharded(
             keyed = keyed.where(~F.col("shard").isin([int(s) for s in done]))
 
     if len(done) < num_shards:
-        built = keyed.groupBy("shard").applyInPandas(
-            _build_shard_kernel(kind, num_shards), schema=FILTER_TABLE_SCHEMA)
+        built = build_filter_rows(keyed, kind, num_shards)
         if checkpoint_dir is not None:
             built.write.mode("append").parquet(checkpoint_dir)
             table = spark.read.schema(FILTER_TABLE_SCHEMA).parquet(checkpoint_dir)
@@ -309,6 +308,15 @@ def build_sharded(
 
     rows = table.collect()
     return ShardedFilter.from_filter_table(rows), table
+
+
+def build_filter_rows(keyed: DataFrame, kind: str,
+                      num_shards: int) -> DataFrame:
+    """Low-level: (key, shard) rows -> filter-table rows for the shards
+    PRESENT in ``keyed`` (no completeness requirement — used by
+    checkpoint resume and streaming incremental rebuild)."""
+    return keyed.groupBy("shard").applyInPandas(
+        _build_shard_kernel(kind, num_shards), schema=FILTER_TABLE_SCHEMA)
 
 
 def semi_join_prune(fact: DataFrame, fact_key: str, sf: ShardedFilter,

@@ -1,0 +1,88 @@
+"""Structured Streaming: incremental filter maintenance + streaming
+sketches, driven by a bounded file stream with availableNow triggers
+(deterministic micro-batches; a rate source would outpace the per-batch
+rebuild on a test box)."""
+
+import numpy as np
+from pyspark.sql import functions as F
+from pyspark.sql.types import LongType, StructField, StructType
+
+from fastfilter_spark.functions.sketches import HyperLogLog, KLL
+from fastfilter_spark.streaming.incremental import (
+    IncrementalFilterMaintainer, StreamingSketchAggregator,
+)
+
+_SCHEMA = StructType([StructField("value", LongType(), False)])
+
+
+def _write_batch(spark, src_dir: str, lo: int, hi: int):
+    spark.range(lo, hi).select(
+        (F.col("id") * 2654435761).alias("value")) \
+        .coalesce(1).write.mode("append").parquet(src_dir)
+
+
+def _run_once(spark, src_dir, ckpt, sink):
+    stream = spark.readStream.schema(_SCHEMA).parquet(src_dir)
+    q = (stream.writeStream.foreachBatch(sink)
+         .option("checkpointLocation", ckpt)
+         .trigger(availableNow=True).start())
+    q.awaitTermination(300)
+
+
+def test_incremental_filter_maintains_stream(spark, tmp_path):
+    base = str(tmp_path / "inc")
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    maint = IncrementalFilterMaintainer(base, key_col="value",
+                                        kind="fuse8", shard_bits=2)
+
+    # three micro-batch rounds, each adding new keys
+    for lo, hi in ((0, 3000), (3000, 5000), (5000, 6000)):
+        _write_batch(spark, src, lo, hi)
+        _run_once(spark, src, ckpt, maint.process_batch)
+
+    keys_df = spark.read.parquet(maint.keys_dir)
+    n = keys_df.count()
+    assert n == 6000
+
+    sf = maint.current_filter(spark)
+    keys = np.array([r["key"] for r in keys_df.select("key").collect()],
+                    dtype=np.int64)
+    assert sf.contain_np(keys).all()          # zero false negatives
+    rng = np.random.default_rng(5)
+    probes = rng.integers(1 << 40, 1 << 62, 100_000, dtype=np.uint64)
+    assert sf.contain_np(probes).mean() < 0.02
+
+    # incremental result == from-scratch batch build over the same keys
+    from fastfilter_spark.operators.dist import build_sharded
+    batch_sf, _ = build_sharded(keys_df, "key", kind="fuse8", shard_bits=2)
+    assert batch_sf.payloads == sf.payloads
+
+
+def test_streaming_sketches(spark, tmp_path):
+    src = str(tmp_path / "src2")
+    state = str(tmp_path / "state")
+    agg = StreamingSketchAggregator(
+        "value", {"hll": lambda: HyperLogLog(12), "kll": lambda: KLL(200)},
+        state_dir=state, as_float=False)
+
+    _write_batch(spark, src, 0, 4000)
+    _run_once(spark, src, str(tmp_path / "ck1"), agg.process_batch)
+    _write_batch(spark, src, 4000, 6000)
+    _run_once(spark, src, str(tmp_path / "ck1"), agg.process_batch)
+
+    n = agg.sketches["kll"].n
+    assert n == 6000
+    est = agg.sketches["hll"].estimate()
+    assert abs(est - 6000) / 6000 < 0.1       # all values distinct
+    med = agg.sketches["kll"].quantile(0.5)
+    svals = np.sort((np.arange(6000) * 2654435761).astype(np.int64))
+    rank = np.searchsorted(svals, med) / 6000
+    assert 0.45 <= rank <= 0.55
+
+    # resumability: a fresh aggregator loads persisted sketch state
+    agg2 = StreamingSketchAggregator(
+        "value", {"hll": lambda: HyperLogLog(12), "kll": lambda: KLL(200)},
+        state_dir=state)
+    assert agg2.sketches["kll"].n == n
+    assert agg2.sketches["hll"].estimate() == est
