@@ -1,0 +1,96 @@
+"""Physical-plan audits: the plan-shape properties that matter at 100 TB.
+
+These assert on ``explain`` output so a regression that silently
+introduces an extra shuffle / Python stage / full-column scan fails CI,
+not a production run.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from fastfilter_spark.operators.dist import (
+    build_sharded, keys_with_shard, semi_join_prune,
+)
+
+
+def _plan(df) -> str:
+    import contextlib
+    import io
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+@pytest.fixture(scope="module")
+def lineitem(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+
+
+def test_build_stage_has_no_python_before_shuffle(spark, lineitem):
+    """Shard routing must be JVM-side: the only Python in the build plan
+    is the grouped-map kernel itself (FlatMapGroupsInPandas), never an
+    ArrowEvalPython before the Exchange."""
+    keyed = keys_with_shard(lineitem, "l_orderkey", 3)
+    plan = _plan(keyed)
+    assert "xxhash64" in plan
+    assert "ArrowEvalPython" not in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_scan_prunes_columns(spark, lineitem):
+    """The key projection must reach the parquet reader: ReadSchema
+    carries only the key column, not all 11 lineitem columns."""
+    keyed = keys_with_shard(lineitem, "l_orderkey", 3)
+    plan = _plan(keyed)
+    read = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
+    assert read and "l_orderkey" in read[0]
+    assert "l_extendedprice" not in read[0] and "l_shipdate" not in read[0]
+
+
+def test_filter_pushdown_reaches_scan(spark, sf_dir):
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    q = orders.where(F.col("o_custkey") < 100).select("o_orderkey")
+    plan = _plan(q)
+    pushed = [ln for ln in plan.splitlines() if "PushedFilters" in ln]
+    assert pushed and "o_custkey" in pushed[0]
+
+
+def test_semi_join_prune_broadcasts_dim(spark, sf_dir):
+    """The exact join after the filter probe must be a broadcast hash
+    join (small dim side), not a sort-merge shuffle."""
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    customer = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    dim = customer.where(F.col("c_custkey") % 5 == 0)
+    sf, _ = build_sharded(dim, "c_custkey", kind="fuse8", shard_bits=0)
+    pruned = semi_join_prune(orders, "o_custkey", sf, dim, "c_custkey")
+    plan = _plan(pruned)
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+    assert "LeftSemi" in plan
+
+
+def test_aggregation_is_map_side_partial(spark, lineitem):
+    """groupBy aggregates must partial-combine before the Exchange (the
+    shuffle moves one row per group per task, not per input row); the
+    batched parquet reader must be active."""
+    q = (lineitem.groupBy("l_returnflag")
+         .agg(F.sum(F.col("l_quantity").cast("long")).alias("q")))
+    plan = _plan(q)
+    assert "partial_sum" in plan
+    assert "Batched: true" in plan
+    # partial HashAggregate appears below the Exchange
+    assert plan.index("partial_sum") > plan.index("Exchange") or \
+        "HashAggregate" in plan.split("Exchange")[0]
+
+
+def test_build_has_single_exchange(spark, lineitem):
+    """One shuffle total in the construction plan (the groupBy(shard));
+    a second Exchange would mean an accidental extra repartition."""
+    keyed = keys_with_shard(lineitem, "l_orderkey", 2)
+    from fastfilter_spark.operators.dist import (
+        FILTER_TABLE_SCHEMA, _build_shard_kernel)
+    built = keyed.groupBy("shard").applyInPandas(
+        _build_shard_kernel("fuse8", 4), schema=FILTER_TABLE_SCHEMA)
+    plan = _plan(built)
+    assert plan.count("Exchange") <= 2  # initial + AQE re-plan reuse line
+    assert "FlatMapGroupsInPandas" in plan
