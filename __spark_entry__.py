@@ -181,6 +181,18 @@ def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("l_returnflag", "l_linestatus"))
 
 
+def q_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-phase salted aggregation (skew spreading) — results identical
+    to the plain GROUP BY, which is exactly the oracle."""
+    from fastfilter_spark.operators.skew import salted_agg
+    li = _t(spark, sf_dir, "lineitem")
+    return salted_agg(
+        li, ["l_returnflag"],
+        {"n_rows": F.count("*"),
+         "sum_qty": F.sum(F.col("l_quantity").cast("long"))},
+        n_salts=8).orderBy("l_returnflag")
+
+
 def q_events_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events")
     return (ev.groupBy("event_type")
@@ -352,8 +364,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kll_quantiles": q_kll_quantiles,
         "tdigest_quantiles": q_tdigest_quantiles,
         "cms_heavy_hitters": q_cms_heavy_hitters,
-        # relational demos
+        # relational demos + skew handling
         "pricing_summary": q_pricing_summary,
+        "salted_agg": q_salted_agg,
         "events_by_type": q_events_by_type,
         # sources
         "webpages_invariant": q_webpages_invariant,
@@ -408,6 +421,10 @@ def oracle_sql() -> dict[str, str]:
             "FROM lineitem "
             "GROUP BY l_returnflag, l_linestatus "
             "ORDER BY l_returnflag, l_linestatus"),
+        "salted_agg": (
+            "SELECT l_returnflag, count(*) AS n_rows, "
+            "CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty "
+            "FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"),
         "events_by_type": (
             "SELECT event_type, count(*) AS n_events, "
             "count(DISTINCT user_id) AS n_users FROM events "
