@@ -50,7 +50,6 @@ def main() -> None:
         cms_sketch, hll_count_distinct, kll_quantiles)
     from fastfilter_spark.operators.similarity import brute_force_topk
     from fastfilter_spark.operators.dedup import minhash_dedup_pairs
-    from fastfilter_spark.sources.webpages import synthesize_webpages, url_keys
 
     timings: dict[str, float] = {}
     throughput: dict[str, float] = {}
@@ -64,15 +63,27 @@ def main() -> None:
     lineitem = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
     lineitem.count()  # warm FS cache / JVM
 
-    # 1. headline: fuse8 construction over a synthesized url-key stream
-    n_pages = 2_000_000 if sf_label == "0.1" else 200_000
-    wp_keys = url_keys(synthesize_webpages(spark, n_pages, seed=42)) \
-        .persist()
+    # warm python workers + native-kernel compile + broadcast machinery
+    # before any timed stage (the reference benchmark warms before its
+    # timed runs too, /root/reference/benchmarks/bench.c:119-146)
+    _wsf, _ = build_sharded(spark.range(100_000).select(
+        F.xxhash64(F.col("id")).alias("key")), "key",
+        kind="fuse8", shard_bits=2)
+    spark.range(100_000).select(F.xxhash64(F.col("id")).alias("key")) \
+        .where(_wsf.contains_udf(spark)(F.col("key"))).count()
+
+    # 1. headline: fuse8 construction over a url-key stream (urls
+    # generated JVM-side — full html/text synthesis is exercised by the
+    # webpages tests; here only the key pipeline is under test)
+    n_pages = 20_000_000 if sf_label == "0.1" else 200_000
+    wp_keys = spark.range(n_pages).select(
+        F.xxhash64(F.concat(F.lit("https://site.example.org/p/"),
+                            F.col("id"))).alias("key")).persist()
     n_keys = wp_keys.count()
 
     def build_urls():
         sfilter, _ = build_sharded(wp_keys, "key", kind="fuse8",
-                                   shard_bits=4)
+                                   shard_bits=6)
         return sfilter
 
     sfilter = timed("fuse8_build_urls", build_urls)
@@ -109,8 +120,8 @@ def main() -> None:
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet") \
         .select("doc_id", "text")
     timed("minhash_dedup",
-          lambda: minhash_dedup_pairs(docs, threshold=0.8, n_hashes=64,
-                                      bands=16).count())
+          lambda: minhash_dedup_pairs(docs, threshold=0.8,
+                                      n_hashes=64).count())
 
     # 6. ANN over embeddings
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")

@@ -173,13 +173,18 @@ def band_hashes(sig_col, n_hashes: int, bands: int):
 def lsh_candidates(df: DataFrame, id_col: str = "doc_id",
                    text_col: str = "text", n_hashes: int = 128,
                    bands: int = 32, shingle_k: int = 5,
-                   max_bucket: int = 64) -> DataFrame:
-    """Candidate near-duplicate pairs (id_a < id_b, est_jaccard).
+                   max_bucket: int = 64,
+                   with_estimate: bool = True) -> DataFrame:
+    """Candidate near-duplicate pairs (id_a < id_b[, est_jaccard]).
 
     Pipeline: exact-dedup by fingerprint -> signature UDF -> per-band
     bucket hash -> posexplode -> self-join per (band, bucket) ->
     signature-agreement estimate.  ``max_bucket`` caps pathological
     buckets (count logged in the returned plan via `_capped` rows removed).
+
+    ``with_estimate=False`` drops the signature columns before the join
+    and distinct — cheaper when an exact-Jaccard verify follows anyway
+    (the minhash_dedup_pairs path).
     """
     sig = minhash_signature_fast_udf(n_hashes, shingle_k)
     uniq = exact_dedup(df.select(id_col, text_col), text_col)
@@ -195,6 +200,12 @@ def lsh_candidates(df: DataFrame, id_col: str = "doc_id",
     sized = signed.withColumn(
         "_bsz", F.count("*").over(Window.partitionBy("band", "bucket")))
     bounded = sized.where(F.col("_bsz") <= max_bucket).drop("_bsz")
+    if not with_estimate:
+        left = bounded.select(F.col(id_col).alias("id_a"), "band", "bucket")
+        right = bounded.select(F.col(id_col).alias("id_b"), "band", "bucket")
+        return (left.join(right, ["band", "bucket"])
+                .where(F.col("id_a") < F.col("id_b"))
+                .select("id_a", "id_b").distinct())
     left = bounded.select(F.col(id_col).alias("id_a"),
                           F.col("_sig").alias("_sig_a"), "band", "bucket")
     right = bounded.select(F.col(id_col).alias("id_b"),
@@ -218,9 +229,17 @@ def verify_jaccard(candidates: DataFrame, docs: DataFrame,
     @F.pandas_udf(DoubleType())
     def jaccard(a: pd.Series, b: pd.Series) -> pd.Series:
         out = np.empty(len(a))
+        cache: dict[str, np.ndarray] = {}  # texts repeat across pairs
+
+        def sh(t: str) -> np.ndarray:
+            v = cache.get(t)
+            if v is None:
+                v = _shingle_hashes(t, shingle_k)
+                cache[t] = v
+            return v
+
         for i, (ta, tb) in enumerate(zip(a.fillna(""), b.fillna(""))):
-            sa = _shingle_hashes(ta, shingle_k)
-            sb = _shingle_hashes(tb, shingle_k)
+            sa, sb = sh(ta), sh(tb)
             inter = np.intersect1d(sa, sb, assume_unique=True).size
             union = sa.size + sb.size - inter
             out[i] = inter / union if union else 1.0
@@ -236,11 +255,36 @@ def verify_jaccard(candidates: DataFrame, docs: DataFrame,
             .drop("_ta", "_tb")
 
 
+def tune_bands(n_hashes: int, threshold: float) -> int:
+    """Pick the band count whose LSH S-curve threshold (1/b)^(1/r) sits
+    closest below ``threshold``: tighter banding means candidate volume
+    tracks the verify threshold instead of exploding with
+    medium-similarity pairs (the curve for 16x4 sits at ~0.5 — far too
+    loose for a 0.8 verify)."""
+    best_b, best_gap = 1, 1e9
+    for r in range(1, n_hashes + 1):
+        b = n_hashes // r
+        if b * r != n_hashes or b < 1:
+            continue
+        s = (1.0 / b) ** (1.0 / r)
+        gap = threshold - s
+        if 0 <= gap < best_gap:
+            best_b, best_gap = b, gap
+    return best_b
+
+
 def minhash_dedup_pairs(df: DataFrame, id_col: str = "doc_id",
                         text_col: str = "text", threshold: float = 0.8,
+                        n_hashes: int = 128, bands: int | None = None,
                         **lsh_kw) -> DataFrame:
-    """End-to-end near-dup pairs at exact Jaccard >= threshold."""
-    cand = lsh_candidates(df, id_col, text_col, **lsh_kw)
+    """End-to-end near-dup pairs at exact Jaccard >= threshold.
+
+    ``bands=None`` tunes the banding to the threshold (see tune_bands).
+    """
+    if bands is None:
+        bands = tune_bands(n_hashes, threshold)
+    cand = lsh_candidates(df, id_col, text_col, with_estimate=False,
+                          n_hashes=n_hashes, bands=bands, **lsh_kw)
     return verify_jaccard(cand, df, id_col, text_col) \
         .where(F.col("jaccard") >= threshold) \
         .select("id_a", "id_b", "jaccard")
