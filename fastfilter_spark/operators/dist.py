@@ -243,6 +243,55 @@ class ShardedFilter:
 
         return contains
 
+    def filter_members(self, df: DataFrame, key_col: str,
+                       spark: SparkSession | None = None,
+                       negate: bool = False) -> DataFrame:
+        """Arrow-native row filter: keep rows whose ``key_col`` passes the
+        probe (or fails it, with ``negate``).
+
+        Trade-off (measured): for NARROW frames (key-only or few
+        columns) this beats ``df.where(contains_udf(col))`` — the batch
+        stays a pyarrow RecordBatch end-to-end, no pandas Series.  For
+        WIDE frames the where() form wins (~2x on 11-column lineitem):
+        there only the key column crosses into Python and the JVM
+        filters the full rows, whereas mapInArrow ships every column
+        through Python both ways.  semi_join_prune therefore uses
+        where(); use this for key streams and projected scans.
+        """
+        import pyarrow as pa
+
+        kind, shard_bits = self.kind, self.shard_bits
+        cache_key = (kind, shard_bits, len(self.payloads[0]),
+                     hash(self.payloads[0][:64]), hash(self.payloads[-1][:64]))
+        if spark is not None:
+            bc = spark.sparkContext.broadcast(self.payloads)
+            get_payloads = lambda: bc.value  # noqa: E731
+        else:
+            payloads = self.payloads
+            get_payloads = lambda: payloads  # noqa: E731
+
+        def probe_batches(batches):
+            filters = _worker_filter_cache.get(cache_key)
+            if filters is None:
+                filters = [filter_from_bytes(p, kind) for p in get_payloads()]
+                _worker_filter_cache[cache_key] = filters
+            for batch in batches:
+                keys = K.to_uint64(
+                    batch.column(key_col).to_numpy(zero_copy_only=False))
+                out = np.zeros(keys.size, dtype=bool)
+                shards = shard_of_hash(keys, shard_bits)
+                for sh in np.unique(shards):
+                    m = shards == sh
+                    out[m] = filters[sh].contain(keys[m])
+                if negate:
+                    out = ~out
+                if out.all():
+                    yield batch
+                elif out.any():
+                    yield batch.filter(pa.array(out))
+
+        return df.mapInArrow(probe_batches, df.schema)
+
     # -- sizing -----------------------------------------------------------
 
     def size_in_bytes(self) -> int:
@@ -330,6 +379,8 @@ def semi_join_prune(fact: DataFrame, fact_key: str, sf: ShardedFilter,
     <=2^-8/2^-16 false positives, so results are exact.
     """
     spark = fact.sparkSession
+    # where(udf) over mapInArrow: only the key column crosses to Python,
+    # the JVM filters the (wide) fact rows — see filter_members docstring
     pruned = fact.where(sf.contains_udf(spark)(F.col(fact_key)))
     return pruned.join(dim_keys.select(dim_key).distinct(),
                        pruned[fact_key] == F.col(dim_key), "left_semi")
