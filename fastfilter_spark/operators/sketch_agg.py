@@ -139,6 +139,8 @@ def bloom_sketch(df: DataFrame, col: str, capacity: int | None = None,
     keyed = df.select(F.xxhash64(F.col(col)).alias(col)) if hash_strings_col \
         else df.select(F.col(col).cast("long").alias(col))
     if capacity is None:
-        capacity = keyed.select(
-            F.approx_count_distinct(col).alias("n")).collect()[0]["n"]
+        # approx_count_distinct has ~2% error itself; pad so an
+        # underestimate cannot push the realized fpp past the target
+        capacity = int(keyed.select(
+            F.approx_count_distinct(col).alias("n")).collect()[0]["n"] * 1.1)
     return sketch_column(keyed, col, lambda: Bloom.from_capacity(capacity, fpp))

@@ -85,6 +85,10 @@ class IncrementalFilterMaintainer:
     # -- reads ------------------------------------------------------------
 
     def current_filter(self, spark: SparkSession) -> ShardedFilter:
+        if not os.path.isdir(self.table_dir):
+            raise ValueError(
+                f"no micro-batch has been processed yet ({self.table_dir} "
+                "does not exist); attach() the stream first")
         rows = spark.read.schema(FILTER_TABLE_SCHEMA) \
             .parquet(self.table_dir).collect()
         present = {r["shard"] for r in rows}

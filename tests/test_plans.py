@@ -83,6 +83,21 @@ def test_aggregation_is_map_side_partial(spark, lineitem):
         "HashAggregate" in plan.split("Exchange")[0]
 
 
+def test_partition_pruning_on_partitioned_table(spark, tmp_path):
+    """Writing partitioned-by-lang and filtering on lang must prune at
+    the source (PartitionFilters), not post-scan — the parquet stand-in
+    for Iceberg partition pruning."""
+    from fastfilter_spark.sources.webpages import synthesize_webpages
+    out = str(tmp_path / "wp_part")
+    synthesize_webpages(spark, 2000, seed=42) \
+        .write.partitionBy("lang").parquet(out)
+    q = spark.read.parquet(out).where(F.col("lang") == "en") \
+        .select("url")
+    plan = _plan(q)
+    pf = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
+    assert pf and "lang" in pf[0]
+
+
 def test_build_has_single_exchange(spark, lineitem):
     """One shuffle total in the construction plan (the groupBy(shard));
     a second Exchange would mean an accidental extra repartition."""
