@@ -148,6 +148,44 @@ class _Kernel:
             _ptr(g2, _c_i32p))
         return mixed, g0, g1, g2
 
+    def fuse_prepare(self, keys: np.ndarray, seed: int, seg_len: int,
+                     seg_cnt_len: int, seg_cnt: int, n_cells: int):
+        """Fused segment-sorted index + cell-state accumulation; pair
+        with :meth:`peel_pre` (one fewer sweep than index+peel)."""
+        n = keys.size
+        keys = np.ascontiguousarray(keys, dtype=np.uint64)
+        tmp = self._buf("tmp", n, np.uint64)
+        bucket_pos = self._buf("bucket_pos", seg_cnt + 2, np.int64)
+        mixed = self._buf("mixed", n, np.uint64)
+        g0 = self._buf("g0", n, np.int32)
+        g1 = self._buf("g1", n, np.int32)
+        g2 = self._buf("g2", n, np.int32)
+        state = self._buf("state", n_cells, np.int64)
+        self.lib.ff_fuse_prepare(
+            _ptr(keys, _c_u64p), ctypes.c_int64(n), ctypes.c_uint64(seed),
+            ctypes.c_uint32(seg_len), ctypes.c_uint32(seg_cnt_len),
+            ctypes.c_uint32(seg_cnt), ctypes.c_int64(n_cells),
+            _ptr(tmp, _c_u64p), _ptr(bucket_pos, ctypes.POINTER(ctypes.c_int64)),
+            _ptr(mixed, _c_u64p), _ptr(g0, _c_i32p), _ptr(g1, _c_i32p),
+            _ptr(g2, _c_i32p), _ptr(state, ctypes.POINTER(ctypes.c_int64)))
+        return mixed, g0, g1, g2
+
+    def peel_pre(self, n_cells: int, g0, g1, g2):
+        """Peel using the state filled by :meth:`fuse_prepare` (the
+        state pool buffer is shared between the two calls)."""
+        n = g0.size
+        state = self._buf("state", n_cells, np.int64)
+        order = self._buf("order", n, np.int32)
+        ocell = self._buf("ocell", n, np.int32)
+        queue = self._buf("queue", n_cells, np.int32)
+        np_peeled = self.lib.ff_peel_pre(
+            ctypes.c_int64(n), ctypes.c_int64(n_cells),
+            _ptr(g0, _c_i32p), _ptr(g1, _c_i32p), _ptr(g2, _c_i32p),
+            _ptr(state, ctypes.POINTER(ctypes.c_int64)),
+            _ptr(order, _c_i32p), _ptr(ocell, _c_i32p),
+            _ptr(queue, _c_i32p))
+        return order, ocell, int(np_peeled)
+
     def fuse_index_pre(self, mixed: np.ndarray, seg_len: int,
                        seg_cnt_len: int):
         n = mixed.size
@@ -261,6 +299,7 @@ def get_kernel() -> _Kernel | None:
             return None
         lib = ctypes.CDLL(so)
         lib.ff_peel.restype = ctypes.c_int64
+        lib.ff_peel_pre.restype = ctypes.c_int64
         _kernel = _Kernel(lib)
     except Exception:
         _kernel = None

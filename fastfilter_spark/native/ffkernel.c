@@ -112,6 +112,78 @@ void ff_fuse_index_sorted(const uint64_t *keys, int64_t n, uint64_t seed,
     }
 }
 
+/* Fused variant: segment-sorted index computation AND cell-state
+ * accumulation in one pass (state[c] = count<<32 | xor of row ids),
+ * feeding ff_peel_pre — one fewer full sweep over g0/g1/g2 than
+ * index_sorted + ff_peel.  state must hold m entries (zeroed here). */
+void ff_fuse_prepare(const uint64_t *keys, int64_t n, uint64_t seed,
+                     uint32_t segment_length, uint32_t seg_count_length,
+                     uint32_t segment_count, int64_t m,
+                     uint64_t *tmp, int64_t *bucket_pos,
+                     uint64_t *mixed, int32_t *g0, int32_t *g1, int32_t *g2,
+                     int64_t *state) {
+    uint32_t mask = segment_length - 1;
+    int log2sl = 0;
+    while ((1u << log2sl) < segment_length) log2sl++;
+    int64_t nbuckets = segment_count;
+    for (int64_t b = 0; b <= nbuckets; b++) bucket_pos[b] = 0;
+    for (int64_t i = 0; i < n; i++) {
+        uint64_t h = mm64(keys[i] + seed);
+        tmp[i] = h;
+        uint32_t a = (uint32_t)(((unsigned __int128)h * seg_count_length) >> 64);
+        bucket_pos[(a >> log2sl) + 1]++;
+    }
+    for (int64_t b = 1; b <= nbuckets; b++) bucket_pos[b] += bucket_pos[b - 1];
+    for (int64_t i = 0; i < n; i++) {
+        uint64_t h = tmp[i];
+        uint32_t a = (uint32_t)(((unsigned __int128)h * seg_count_length) >> 64);
+        mixed[bucket_pos[a >> log2sl]++] = h;
+    }
+    memset(state, 0, (size_t)m * sizeof(int64_t));
+    const int64_t ONE = (int64_t)1 << 32;
+    for (int64_t i = 0; i < n; i++) {
+        uint64_t h = mixed[i];
+        uint32_t a = (uint32_t)(((unsigned __int128)h * seg_count_length) >> 64);
+        uint32_t b2 = (a + segment_length) ^ ((uint32_t)(h >> 18) & mask);
+        uint32_t c2 = (a + 2 * segment_length) ^ ((uint32_t)h & mask);
+        g0[i] = (int32_t)a;
+        g1[i] = (int32_t)b2;
+        g2[i] = (int32_t)c2;
+        state[a] += ONE; state[a] ^= (uint32_t)i;
+        state[b2] += ONE; state[b2] ^= (uint32_t)i;
+        state[c2] += ONE; state[c2] ^= (uint32_t)i;
+    }
+}
+
+/* Peel over pre-accumulated state (from ff_fuse_prepare). */
+int64_t ff_peel_pre(int64_t n, int64_t m,
+                    const int32_t *g0, const int32_t *g1, const int32_t *g2,
+                    int64_t *state,
+                    int32_t *order, int32_t *ocell, int32_t *queue) {
+    const int64_t ONE = (int64_t)1 << 32;
+    int64_t qhead = 0, qtail = 0;
+    for (int64_t c = 0; c < m; c++)
+        if ((state[c] >> 32) == 1) queue[qtail++] = (int32_t)c;
+    int64_t np = 0;
+    while (qhead < qtail) {
+        int32_t cell = queue[qhead++];
+        int64_t st = state[cell];
+        if ((st >> 32) != 1) continue;
+        int32_t row = (int32_t)(uint32_t)st;
+        order[np] = row;
+        ocell[np] = cell;
+        np++;
+        int32_t cs[3] = { g0[row], g1[row], g2[row] };
+        for (int k = 0; k < 3; k++) {
+            int32_t c2 = cs[k];
+            int64_t s2 = (state[c2] - ONE) ^ (uint32_t)row;
+            state[c2] = s2;
+            if ((s2 >> 32) == 1) queue[qtail++] = c2;
+        }
+    }
+    return np;
+}
+
 /* Index-only variants over already-mixed hashes (used on the
  * duplicate-retry path, where Python dedups the mixed hash array). */
 void ff_fuse_index_pre(const uint64_t *mixed, int64_t n,

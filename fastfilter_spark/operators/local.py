@@ -416,9 +416,13 @@ class FuseFilter:
             if attempt > K.XOR_MAX_ITERATIONS:
                 raise ConstructionError("fuse populate failed after 100 seeds")
             if nat is not None:
-                hashes, g0, g1, g2 = nat.fuse_index_sorted(
-                    current, seed, seg_len, seg_cnt_len, seg_cnt)
-                rounds, peeled = peel(g0, g1, g2)
+                # fused index+accumulate pass, then peel over the
+                # pre-filled state (one fewer sweep than index + peel)
+                hashes, g0, g1, g2 = nat.fuse_prepare(
+                    current, seed, seg_len, seg_cnt_len, seg_cnt,
+                    array_length)
+                order, ocell, peeled = nat.peel_pre(array_length, g0, g1, g2)
+                rounds = (order, ocell)
             else:
                 hashes = K.mix_split(current, seed)
                 g0, g1, g2 = triple(hashes)
