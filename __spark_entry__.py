@@ -193,6 +193,44 @@ def q_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_salts=8).orderBy("l_returnflag")
 
 
+def q_window_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window function: top-2 orders per customer by total price."""
+    from pyspark.sql import Window
+    orders = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_totalprice"), F.col("o_orderkey"))
+    return (orders.withColumn("rk", F.row_number().over(w))
+            .where(F.col("rk") <= 2)
+            .select("o_custkey", "rk", "o_orderkey")
+            .orderBy("o_custkey", "rk"))
+
+
+def q_rollup_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouping sets: rollup over (status, priority)."""
+    orders = _t(spark, sf_dir, "orders")
+    return (orders.rollup("o_orderstatus", "o_orderpriority")
+            .agg(F.count("*").alias("n"))
+            .orderBy("o_orderstatus", "o_orderpriority"))
+
+
+def q_monthly_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date functions: orders per month."""
+    orders = _t(spark, sf_dir, "orders")
+    return (orders.select(F.date_trunc("month", "o_orderdate")
+                          .cast("date").alias("month"))
+            .groupBy("month").agg(F.count("*").alias("n_orders"))
+            .orderBy("month"))
+
+
+def q_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON functions: extract props.k and bucket it."""
+    ev = _t(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return (ev.select(F.floor(k / 10).cast("long").alias("k_bucket"))
+            .groupBy("k_bucket").agg(F.count("*").alias("n"))
+            .orderBy("k_bucket"))
+
+
 def q_events_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events")
     return (ev.groupBy("event_type")
@@ -368,6 +406,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pricing_summary": q_pricing_summary,
         "salted_agg": q_salted_agg,
         "events_by_type": q_events_by_type,
+        "window_topn": q_window_topn,
+        "rollup_orders": q_rollup_orders,
+        "monthly_orders": q_monthly_orders,
+        "json_extract": q_json_extract,
         # sources
         "webpages_invariant": q_webpages_invariant,
         "image_features": q_image_features,
@@ -425,6 +467,24 @@ def oracle_sql() -> dict[str, str]:
             "SELECT l_returnflag, count(*) AS n_rows, "
             "CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty "
             "FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"),
+        "window_topn": (
+            "SELECT o_custkey, rk, o_orderkey FROM ("
+            "SELECT o_custkey, o_orderkey, CAST(row_number() OVER "
+            "(PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey)"
+            " AS INT) AS rk FROM orders) WHERE rk <= 2 "
+            "ORDER BY o_custkey, rk"),
+        "rollup_orders": (
+            "SELECT o_orderstatus, o_orderpriority, count(*) AS n "
+            "FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority) "
+            "ORDER BY o_orderstatus, o_orderpriority"),
+        "monthly_orders": (
+            "SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month, "
+            "count(*) AS n_orders FROM orders GROUP BY 1 ORDER BY 1"),
+        "json_extract": (
+            "SELECT CAST(floor(CAST(json_extract_string(props, '$.k') "
+            "AS BIGINT) / 10) AS BIGINT) AS k_bucket, count(*) AS n "
+            "FROM events "
+            "GROUP BY 1 ORDER BY 1"),
         "events_by_type": (
             "SELECT event_type, count(*) AS n_events, "
             "count(DISTINCT user_id) AS n_users FROM events "
