@@ -359,6 +359,43 @@ def build_sharded(
     return ShardedFilter.from_filter_table(rows), table
 
 
+def probe_via_join(probes: DataFrame, key_col: str,
+                   filter_table: DataFrame) -> DataFrame:
+    """Probe WITHOUT broadcasting: cogroup probe keys with filter rows by
+    shard id.
+
+    The broadcast probe (``contains_udf``) needs every executor to hold
+    the whole filter — fine for dim-table pruning (MBs) but not for a
+    10^12-key filter table (~TB, SCALE.md).  Here each task receives ONE
+    shard's payload row plus that shard's probe keys, so memory per task
+    is one sub-filter + its probes regardless of total filter size.
+
+    Returns (key, member boolean); rows with keys only (no extra
+    columns) — join back on key for row-level filtering.
+    """
+    num_shards = filter_table.select(F.first("num_shards")).first()[0]
+    shard_bits = int(math.log2(num_shards))
+    keyed = keys_with_shard(probes, key_col, shard_bits)
+
+    def probe(key, probe_pdf: pd.DataFrame, filt_pdf: pd.DataFrame) \
+            -> pd.DataFrame:
+        if len(probe_pdf) == 0:
+            return pd.DataFrame({"key": [], "member": []}).astype(
+                {"key": "int64", "member": "bool"})
+        keys = K.to_uint64(probe_pdf["key"].to_numpy())
+        if len(filt_pdf) == 0:  # shard never built => no members
+            return pd.DataFrame({"key": keys.view(np.int64),
+                                 "member": np.zeros(keys.size, dtype=bool)})
+        f = filter_from_bytes(bytes(filt_pdf["payload"].iloc[0]),
+                              filt_pdf["kind"].iloc[0])
+        return pd.DataFrame({"key": keys.view(np.int64),
+                             "member": f.contain(keys)})
+
+    return keyed.groupBy("shard").cogroup(
+        filter_table.groupBy("shard")).applyInPandas(
+        probe, schema="key long, member boolean")
+
+
 def build_filter_rows(keyed: DataFrame, kind: str,
                       num_shards: int) -> DataFrame:
     """Low-level: (key, shard) rows -> filter-table rows for the shards
