@@ -213,6 +213,28 @@ class _Kernel:
             _ptr(g2, _c_i32p))
         return mixed, g0, g1, g2
 
+    def xor_prepare(self, keys: np.ndarray, seed: int, block_length: int,
+                    n_cells: int, nbuckets: int = 1024):
+        """Fused h0-bucketed sort + index + state accumulation for xor
+        filters; pair with :meth:`peel_pre`."""
+        n = keys.size
+        keys = np.ascontiguousarray(keys, dtype=np.uint64)
+        tmp = self._buf("tmp", n, np.uint64)
+        bucket_pos = self._buf("bucket_pos", nbuckets + 2, np.int64)
+        mixed = self._buf("mixed", n, np.uint64)
+        g0 = self._buf("g0", n, np.int32)
+        g1 = self._buf("g1", n, np.int32)
+        g2 = self._buf("g2", n, np.int32)
+        state = self._buf("state", n_cells, np.int64)
+        self.lib.ff_xor_prepare(
+            _ptr(keys, _c_u64p), ctypes.c_int64(n), ctypes.c_uint64(seed),
+            ctypes.c_uint32(block_length), ctypes.c_uint32(nbuckets),
+            ctypes.c_int64(n_cells),
+            _ptr(tmp, _c_u64p), _ptr(bucket_pos, ctypes.POINTER(ctypes.c_int64)),
+            _ptr(mixed, _c_u64p), _ptr(g0, _c_i32p), _ptr(g1, _c_i32p),
+            _ptr(g2, _c_i32p), _ptr(state, ctypes.POINTER(ctypes.c_int64)))
+        return mixed, g0, g1, g2
+
     def xor_index_pre(self, mixed: np.ndarray, block_length: int):
         n = mixed.size
         mixed = np.ascontiguousarray(mixed, dtype=np.uint64)

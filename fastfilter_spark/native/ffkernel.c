@@ -155,6 +155,47 @@ void ff_fuse_prepare(const uint64_t *keys, int64_t n, uint64_t seed,
     }
 }
 
+/* xor-filter twin of ff_fuse_prepare: bucket the mixed hashes by their
+ * h0 cell (h0 = lemire_reduce(low32(h), bl) is monotone in low32(h), so
+ * bucketing by low32 >> s yields ascending h0 — sequential access for
+ * 1/3 of the accumulate/peel updates; h1/h2 stay random within their
+ * blocks, which is also true of the reference's unbuffered populate).
+ * nbuckets must be a power of two; bucket_pos holds nbuckets+2. */
+void ff_xor_prepare(const uint64_t *keys, int64_t n, uint64_t seed,
+                    uint32_t block_length, uint32_t nbuckets, int64_t m,
+                    uint64_t *tmp, int64_t *bucket_pos,
+                    uint64_t *mixed, int32_t *g0, int32_t *g1, int32_t *g2,
+                    int64_t *state) {
+    int shift = 32;
+    while ((1u << (32 - shift)) < nbuckets) shift--;
+    for (int64_t b = 0; b <= (int64_t)nbuckets; b++) bucket_pos[b] = 0;
+    for (int64_t i = 0; i < n; i++) {
+        uint64_t h = mm64(keys[i] + seed);
+        tmp[i] = h;
+        bucket_pos[((uint32_t)h >> shift) + 1]++;
+    }
+    for (int64_t b = 1; b <= (int64_t)nbuckets; b++)
+        bucket_pos[b] += bucket_pos[b - 1];
+    for (int64_t i = 0; i < n; i++) {
+        uint64_t h = tmp[i];
+        mixed[bucket_pos[(uint32_t)h >> shift]++] = h;
+    }
+    memset(state, 0, (size_t)m * sizeof(int64_t));
+    const int64_t ONE = (int64_t)1 << 32;
+    for (int64_t i = 0; i < n; i++) {
+        uint64_t h = mixed[i];
+        int32_t a = (int32_t)lemire_reduce((uint32_t)h, block_length);
+        int32_t b2 = (int32_t)(lemire_reduce((uint32_t)rot64(h, 21),
+                                             block_length) + block_length);
+        int32_t c2 = (int32_t)(lemire_reduce((uint32_t)rot64(h, 42),
+                                             block_length) + 2 * block_length);
+        g0[i] = a; g1[i] = b2; g2[i] = c2;
+        state[a] += ONE; state[a] ^= (uint32_t)i;
+        state[b2] += ONE; state[b2] ^= (uint32_t)i;
+        state[c2] += ONE; state[c2] ^= (uint32_t)i;
+    }
+}
+
 /* Peel over pre-accumulated state (from ff_fuse_prepare). */
 int64_t ff_peel_pre(int64_t n, int64_t m,
                     const int32_t *g0, const int32_t *g1, const int32_t *g2,

@@ -260,8 +260,9 @@ class XorFilter:
             if iterations > K.XOR_MAX_ITERATIONS:
                 raise ConstructionError("xor populate failed after 100 seeds")
             if nat is not None:
-                hashes, g0, g1, g2 = nat.xor_index(keys, seed, bl)
-                order, ocell, peeled = nat.peel(array_length, g0, g1, g2)
+                hashes, g0, g1, g2 = nat.xor_prepare(keys, seed, bl,
+                                                     array_length)
+                order, ocell, peeled = nat.peel_pre(array_length, g0, g1, g2)
             else:
                 hashes = K.mix_split(keys, seed)
                 g0, g1, g2 = triple(hashes)
