@@ -170,6 +170,14 @@ class _Kernel:
             _ptr(g2, _c_i32p), _ptr(state, ctypes.POINTER(ctypes.c_int64)))
         return mixed, g0, g1, g2
 
+    def state_overflow(self, n_cells: int, limit: int = 64) -> bool:
+        """True if any cell accumulated >= ``limit`` keys in the state
+        filled by fuse_prepare/xor_prepare — mirrors the reference's
+        6-bit packed-counter wrap abort (binaryfusefilter.h:374-377) so
+        the native and numpy tiers fail attempts on identical seeds."""
+        state = self._buf("state", n_cells, np.int64)
+        return bool(int(state.max()) >> 32 >= limit)
+
     def peel_pre(self, n_cells: int, g0, g1, g2):
         """Peel using the state filled by :meth:`fuse_prepare` (the
         state pool buffer is shared between the two calls)."""

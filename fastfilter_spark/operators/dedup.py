@@ -19,7 +19,9 @@ Scale notes (the part that matters at 10^12 docs):
 - The band-bucket join shuffles (band, bucket_hash) pairs — rows*bands
   keys, uniformly hashed, no skew beyond genuine near-dup clusters; a
   `max_bucket` cap bounds the quadratic pair expansion of pathological
-  buckets (and reports how many buckets were capped, never silently).
+  buckets (rows in over-cap buckets are excluded from candidates — a
+  recall/cost knob; raise `max_bucket` if exact-dup-heavy inputs were
+  not pre-deduped).
 - Verification joins texts back only for candidate pairs (a tiny
   fraction), so full texts never shuffle more than once.
 """
@@ -67,7 +69,9 @@ def duplicate_groups(df: DataFrame, id_col: str = "doc_id",
 
 def _shingle_hashes(text: str, k: int) -> np.ndarray:
     """uint64 hashes of the char k-grams of ``text`` (murmur64 of packed
-    bytes, functions/kernels.py)."""
+    bytes, functions/kernels.py).  NB: the byte-packing window caps at 8
+    bytes, so shingle_k > 8 hashes the 8-byte prefix of each k-gram —
+    fine for similarity (standard k is 3-5), documented for clarity."""
     b = text.encode("utf-8", "surrogatepass")
     if len(b) < k:
         b = b.ljust(k, b"\0")

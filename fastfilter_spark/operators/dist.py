@@ -50,6 +50,7 @@ from __future__ import annotations
 
 import math
 import time
+import uuid
 from dataclasses import dataclass
 from typing import Iterable
 
@@ -171,6 +172,15 @@ class ShardedFilter:
     shard_bits: int
     payloads: list[bytes]
 
+    def __post_init__(self):
+        # unique token per filter INSTANCE: the worker-side cache key.
+        # A content fingerprint is not safe here — an incremental rebuild
+        # can change middle shards while the edges stay identical — and
+        # hashing every payload on each udf creation is wasted work, so
+        # identity it is (cache reuse across tasks of one probe matters;
+        # reuse across distinct ShardedFilter objects does not).
+        self._cache_token = uuid.uuid4().hex
+
     @property
     def num_shards(self) -> int:
         return 1 << self.shard_bits
@@ -179,16 +189,27 @@ class ShardedFilter:
 
     @classmethod
     def from_filter_table(cls, rows: Iterable) -> "ShardedFilter":
-        rows = sorted(rows, key=lambda r: r["shard"])
+        rows = list(rows)
         if not rows:
             raise ValueError("empty filter table")
         num_shards = rows[0]["num_shards"]
         kind = rows[0]["kind"]
-        if len(rows) != num_shards:
-            missing = set(range(num_shards)) - {r["shard"] for r in rows}
-            raise ValueError(f"filter table incomplete: missing shards {sorted(missing)[:8]}...")
+        by_shard: dict[int, bytes] = {}
+        for r in rows:
+            s = int(r["shard"])
+            if s in by_shard:
+                raise ValueError(
+                    f"filter table has duplicate rows for shard {s} "
+                    "(overlapping builds appending to one checkpoint_dir?)")
+            by_shard[s] = bytes(r["payload"])
+        missing = set(range(num_shards)) - set(by_shard)
+        if missing:
+            raise ValueError(
+                f"filter table incomplete: missing shards "
+                f"{sorted(missing)[:8]}... "
+                "(use probe_via_join for partial tables)")
         return cls(kind=kind, shard_bits=int(math.log2(num_shards)),
-                   payloads=[bytes(r["payload"]) for r in rows])
+                   payloads=[by_shard[s] for s in range(num_shards)])
 
     # -- probing ----------------------------------------------------------
 
@@ -218,8 +239,7 @@ class ShardedFilter:
         (xorfilter.h:96-108, binaryfusefilter.h:178-187).
         """
         kind, shard_bits = self.kind, self.shard_bits
-        cache_key = (kind, shard_bits, len(self.payloads[0]),
-                     hash(self.payloads[0][:64]), hash(self.payloads[-1][:64]))
+        cache_key = self._cache_token
         if spark is not None:
             bc = spark.sparkContext.broadcast(self.payloads)
             get_payloads = lambda: bc.value  # noqa: E731
@@ -261,8 +281,7 @@ class ShardedFilter:
         import pyarrow as pa
 
         kind, shard_bits = self.kind, self.shard_bits
-        cache_key = (kind, shard_bits, len(self.payloads[0]),
-                     hash(self.payloads[0][:64]), hash(self.payloads[-1][:64]))
+        cache_key = self._cache_token
         if spark is not None:
             bc = spark.sparkContext.broadcast(self.payloads)
             get_payloads = lambda: bc.value  # noqa: E731
@@ -355,7 +374,19 @@ def build_sharded(
     else:
         table = spark.read.schema(FILTER_TABLE_SCHEMA).parquet(checkpoint_dir)
 
-    rows = table.collect()
+    rows = [r.asDict() for r in table.collect()]
+    # shards that received zero keys produce no kernel row (groupBy only
+    # emits non-empty groups) — fill them with a valid empty filter so an
+    # oversized explicit shard_bits still yields a complete filter
+    present = {r["shard"] for r in rows}
+    if len(present) < num_shards:
+        from fastfilter_spark.operators.local import empty_filter
+        payload = empty_filter(kind).to_bytes()
+        rows += [{"shard": s, "kind": kind, "num_shards": num_shards,
+                  "input_rows": 0, "distinct_keys": 0, "seed": 0,
+                  "size_bytes": len(payload), "build_ms": 0.0,
+                  "payload": payload}
+                 for s in range(num_shards) if s not in present]
     return ShardedFilter.from_filter_table(rows), table
 
 
@@ -419,5 +450,7 @@ def semi_join_prune(fact: DataFrame, fact_key: str, sf: ShardedFilter,
     # where(udf) over mapInArrow: only the key column crosses to Python,
     # the JVM filters the (wide) fact rows — see filter_members docstring
     pruned = fact.where(sf.contains_udf(spark)(F.col(fact_key)))
-    return pruned.join(dim_keys.select(dim_key).distinct(),
-                       pruned[fact_key] == F.col(dim_key), "left_semi")
+    # bind the dim side explicitly: an unbound F.col(dim_key) is ambiguous
+    # whenever fact has a same-named column (incl. fact_key == dim_key)
+    dim = dim_keys.select(dim_key).distinct()
+    return pruned.join(dim, pruned[fact_key] == dim[dim_key], "left_semi")

@@ -413,11 +413,18 @@ class FuseFilter:
             return (g0.astype(np.int32), g1.astype(np.int32), g2.astype(np.int32))
 
         def peel(g0, g1, g2):
+            # fail on any cell with 64+ keys: the reference's 6-bit packed
+            # counter wraps there and aborts the attempt
+            # (binaryfusefilter.h:374-377) — both tiers must mirror it so
+            # the seed chains stay identical
             if nat is not None:
+                counts = np.bincount(g0, minlength=array_length)
+                counts += np.bincount(g1, minlength=array_length)
+                counts += np.bincount(g2, minlength=array_length)
+                if int(counts.max()) >= 64:
+                    return None, -1
                 order, ocell, peeled = nat.peel(array_length, g0, g1, g2)
                 return (order, ocell), peeled
-            # fail_if_count_ge=64: a cell accumulating 64+ keys would wrap
-            # the reference's 6-bit packed counter (binaryfusefilter.h:374-377)
             return _peel(array_length, g0, g1, g2, fail_if_count_ge=64)
 
         current = keys
@@ -432,8 +439,12 @@ class FuseFilter:
                 hashes, g0, g1, g2 = nat.fuse_prepare(
                     current, seed, seg_len, seg_cnt_len, seg_cnt,
                     array_length)
-                order, ocell, peeled = nat.peel_pre(array_length, g0, g1, g2)
-                rounds = (order, ocell)
+                if nat.state_overflow(array_length):
+                    rounds, peeled = None, -1  # counter-wrap abort (see peel)
+                else:
+                    order, ocell, peeled = nat.peel_pre(array_length,
+                                                        g0, g1, g2)
+                    rounds = (order, ocell)
             else:
                 hashes = K.mix_split(current, seed)
                 g0, g1, g2 = triple(hashes)
@@ -539,6 +550,23 @@ class FuseFilter:
                    segment_count=seg_cnt, segment_count_length=seg_cnt_len,
                    array_length=array_length, fingerprints=fp,
                    fingerprint_bits=fingerprint_bits)
+
+
+def empty_filter(kind: str):
+    """A valid filter over the empty key set (all-zero fingerprints:
+    trivially no false negatives; fpp is the usual 2^-bits chance of a
+    zero fingerprint).  Needed because the reference's xor populate
+    rejects size 0 (xorfilter.h:660) but a sharded/streaming engine must
+    represent 'shard with no keys yet' for every kind."""
+    if kind in ("xor8", "xor16"):
+        bits = 8 if kind == "xor8" else 16
+        _, seed = K.splitmix64(K.XOR_RNG_START)
+        bl = xor_block_length(0)
+        return XorFilter(seed=seed, block_length=bl,
+                         fingerprints=np.zeros(3 * bl, dtype=np.uint8 if bits == 8
+                                               else np.uint16),
+                         fingerprint_bits=bits)
+    return FuseFilter.build(np.empty(0, dtype=np.uint64), int(kind[4:]))
 
 
 # convenience constructors matching the reference's four types + fuse32

@@ -68,8 +68,12 @@ def sketch_column(df: DataFrame, col: str, factory: Callable[[], object],
     ``as_float`` selects float64 ingestion (KLL/t-digest); default int64
     (HLL/CMS/Bloom expect integer keys — hash strings first, e.g. with
     ``F.xxhash64``).  Returns the merged sketch object.
+
+    Nulls are dropped JVM-side BEFORE the Arrow boundary: a nullable
+    long column with any null reaching pandas arrives as float64, and a
+    float64 round-trip silently corrupts 64-bit keys above 2^53.
     """
-    partials = df.select(F.col(col).alias(col)) \
+    partials = df.select(F.col(col).alias(col)).dropna(subset=[col]) \
         .mapInPandas(_partial_map(factory, col, as_float), schema=_BLOB_SCHEMA)
 
     n_parts = df.rdd.getNumPartitions()
@@ -141,6 +145,7 @@ def bloom_sketch(df: DataFrame, col: str, capacity: int | None = None,
     if capacity is None:
         # approx_count_distinct has ~2% error itself; pad so an
         # underestimate cannot push the realized fpp past the target
-        capacity = int(keyed.select(
-            F.approx_count_distinct(col).alias("n")).collect()[0]["n"] * 1.1)
+        # (max(1,...) keeps an empty input from a zero-size filter)
+        capacity = max(1, int(keyed.select(
+            F.approx_count_distinct(col).alias("n")).collect()[0]["n"] * 1.1))
     return sketch_column(keyed, col, lambda: Bloom.from_capacity(capacity, fpp))

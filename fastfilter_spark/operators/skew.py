@@ -28,9 +28,11 @@ def salted_agg(df: DataFrame, key_cols: list[str],
     """Two-phase groupBy with salt spreading.
 
     ``aggs`` maps output column name -> phase-1 aggregate Column.  Only
-    algebraic aggregates decompose over the two phases; supported here:
-    sum / count / min / max (count re-aggregates as sum).  Results are
-    identical to the unsalted ``df.groupBy(*key_cols).agg(...)``.
+    algebraic aggregates decompose over the two phases — sum / count /
+    min / max (count re-aggregates as sum) — and anything else raises:
+    silently refolding e.g. avg() as a sum of per-salt averages would
+    return wrong answers.  Results are identical to the unsalted
+    ``df.groupBy(*key_cols).agg(...)``.
     """
     salted = df.withColumn(
         "_salt", (F.pmod(F.xxhash64(F.monotonically_increasing_id()),
@@ -40,23 +42,31 @@ def salted_agg(df: DataFrame, key_cols: list[str],
         *[c.alias(f"_p1_{name}") for name, c in aggs.items()])
 
     def refold(name: str, col: Column) -> Column:
-        fn = (col._jc.toString() if hasattr(col, "_jc") else "").lower()
+        if not hasattr(col, "_jc"):
+            raise NotImplementedError(
+                "salted_agg aggregate introspection needs classic PySpark "
+                "Columns (no _jc on this object — Spark Connect?); pass "
+                "only sum/count/min/max and use plain groupBy on Connect")
+        fn = col._jc.toString().lower()
         p1 = F.col(f"_p1_{name}")
-        if fn.startswith("count("):
+        if fn.startswith(("count(", "count_if(", "sum(")):
             return F.sum(p1).alias(name)
         if fn.startswith("min("):
             return F.min(p1).alias(name)
         if fn.startswith("max("):
             return F.max(p1).alias(name)
-        return F.sum(p1).alias(name)  # sum / sum-like
+        raise ValueError(
+            f"salted_agg only decomposes sum/count/min/max; got {fn!r} "
+            f"for {name!r} (avg and friends are not algebraic over salts)")
 
     return phase1.groupBy(*key_cols).agg(
         *[refold(name, c) for name, c in aggs.items()])
 
 
 def domain_of(url_col: Column) -> Column:
-    """Extract the host from an url (JVM regexp)."""
-    return F.regexp_extract(url_col, r"^[a-z]+://([^/]+)/", 1)
+    """Extract the host from an url (JVM regexp; trailing path
+    optional, so path-less urls still yield their host)."""
+    return F.regexp_extract(url_col, r"^[a-z]+://([^/]+)", 1)
 
 
 def domain_stats(webpages: DataFrame, n_salts: int = 16) -> DataFrame:

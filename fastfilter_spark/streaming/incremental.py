@@ -94,11 +94,10 @@ class IncrementalFilterMaintainer:
         present = {r["shard"] for r in rows}
         num_shards = 1 << self.shard_bits
         if len(present) < num_shards:
-            # shards with no keys yet: fill with an empty-capable filter
-            # (fuse filters allocate for size 0; xor cannot — use fuse)
-            from fastfilter_spark.operators.local import build_filter
-            empty = build_filter(np.empty(0, dtype=np.uint64), self.kind)
-            payload = empty.to_bytes()
+            # shards with no keys yet: fill with a valid empty filter
+            # (works for every kind — see local.empty_filter)
+            from fastfilter_spark.operators.local import empty_filter
+            payload = empty_filter(self.kind).to_bytes()
             filler = [
                 {"shard": s, "kind": self.kind, "num_shards": num_shards,
                  "input_rows": 0, "distinct_keys": 0, "seed": 0,
@@ -136,6 +135,7 @@ class StreamingSketchAggregator:
         self.state_dir = state_dir
         self.as_float = as_float
         self.sketches = {name: f() for name, f in factories.items()}
+        self.last_batch_id = -1
         if state_dir:
             self._load()
 
@@ -146,8 +146,12 @@ class StreamingSketchAggregator:
             if os.path.exists(path):
                 with open(path, "rb") as f:
                     self.sketches[name] = sketch_from_bytes(f.read())
+        marker = os.path.join(self.state_dir, "last_batch_id")
+        if os.path.exists(marker):
+            with open(marker) as f:
+                self.last_batch_id = int(f.read().strip())
 
-    def _save(self):
+    def _save(self, batch_id: int):
         if not self.state_dir:
             return
         os.makedirs(self.state_dir, exist_ok=True)
@@ -156,16 +160,25 @@ class StreamingSketchAggregator:
             with open(tmp, "wb") as f:
                 f.write(sk.to_bytes())
             os.replace(tmp, os.path.join(self.state_dir, f"{name}.bin"))
+        tmp = os.path.join(self.state_dir, ".last_batch_id.tmp")
+        with open(tmp, "w") as f:
+            f.write(str(batch_id))
+        os.replace(tmp, os.path.join(self.state_dir, "last_batch_id"))
 
     def process_batch(self, batch_df: DataFrame, batch_id: int) -> None:
-        rows = batch_df.select(self.col).dropna().collect()
-        if not rows:
+        # foreachBatch is at-least-once: a batch re-delivered after a
+        # crash between our _save and Spark's checkpoint commit must not
+        # double-count into the (add-semantics) sketches
+        if batch_id <= self.last_batch_id:
             return
-        vals = np.array([r[0] for r in rows],
-                        dtype=np.float64 if self.as_float else np.int64)
-        for sk in self.sketches.values():
-            sk.update(vals)
-        self._save()
+        rows = batch_df.select(self.col).dropna().collect()
+        if rows:
+            vals = np.array([r[0] for r in rows],
+                            dtype=np.float64 if self.as_float else np.int64)
+            for sk in self.sketches.values():
+                sk.update(vals)
+        self.last_batch_id = batch_id
+        self._save(batch_id)
 
     def attach(self, stream_df: DataFrame, checkpoint: str):
         return (stream_df.writeStream

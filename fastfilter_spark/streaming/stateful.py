@@ -70,8 +70,11 @@ def running_distinct_per_key(stream: DataFrame, key_col: str,
     e.g. ``F.xxhash64``); output estimate is the running distinct count
     of values seen for the key since the stream started.
     """
+    # drop nulls JVM-side: a null reaching pandas turns the long column
+    # into float64, corrupting 64-bit hash values above 2^53
     keyed = stream.selectExpr(f"{key_col} AS key",
-                              f"CAST({value_col} AS LONG) AS value")
+                              f"CAST({value_col} AS LONG) AS value") \
+        .dropna(subset=["value"])
     return keyed.groupBy("key").applyInPandasWithState(
         _update_fn(p), outputStructType=_OUT_SCHEMA,
         stateStructType=_STATE_SCHEMA, outputMode="update",
