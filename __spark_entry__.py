@@ -188,8 +188,8 @@ def q_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem")
     return salted_agg(
         li, ["l_returnflag"],
-        {"n_rows": F.count("*"),
-         "sum_qty": F.sum(F.col("l_quantity").cast("long"))},
+        {"n_rows": ("count", "*"),
+         "sum_qty": ("sum", F.col("l_quantity").cast("long"))},
         n_salts=8).orderBy("l_returnflag")
 
 
@@ -514,9 +514,11 @@ def oracle_sql() -> dict[str, str]:
             " AS INT) AS rk FROM orders) WHERE rk <= 2 "
             "ORDER BY o_custkey, rk"),
         "rollup_orders": (
+            # NULLS FIRST: Spark's default asc ordering is nulls-first,
+            # DuckDB's is nulls-last — align the rollup marker rows
             "SELECT o_orderstatus, o_orderpriority, count(*) AS n "
             "FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority) "
-            "ORDER BY o_orderstatus, o_orderpriority"),
+            "ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST"),
         "monthly_orders": (
             "SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month, "
             "count(*) AS n_orders FROM orders GROUP BY 1 ORDER BY 1"),

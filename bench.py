@@ -24,7 +24,12 @@ import os
 import sys
 import time
 
-sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+# repo on the path for the driver AND the executor python workers
+# (workers inherit env, not driver sys.path)
+_REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, _REPO)
+os.environ["PYTHONPATH"] = (
+    _REPO + os.pathsep + os.environ.get("PYTHONPATH", "")).rstrip(os.pathsep)
 
 
 def main() -> None:

@@ -357,10 +357,23 @@ def build_sharded(
         try:
             existing = spark.read.schema(FILTER_TABLE_SCHEMA) \
                 .parquet(checkpoint_dir)
-            done = {r["shard"] for r in
-                    existing.select("shard").distinct().collect()}
+            meta = existing.select("shard", "kind", "num_shards").collect()
         except Exception:
-            existing = None
+            meta = []
+        if meta:
+            # resume only into a COMPATIBLE checkpoint: mixing kinds or
+            # shard counts would deserialize old payloads with the new
+            # parameters — silent garbage membership bits
+            kinds = {r["kind"] for r in meta}
+            shard_counts = {r["num_shards"] for r in meta}
+            if kinds != {kind} or shard_counts != {num_shards}:
+                raise ValueError(
+                    f"checkpoint_dir {checkpoint_dir} holds an incompatible "
+                    f"build (kind={sorted(kinds)}, num_shards="
+                    f"{sorted(shard_counts)}) vs requested "
+                    f"(kind={kind}, num_shards={num_shards}); "
+                    "use a fresh directory")
+            done = {r["shard"] for r in meta}
         if done:
             keyed = keyed.where(~F.col("shard").isin([int(s) for s in done]))
 

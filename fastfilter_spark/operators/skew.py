@@ -23,44 +23,54 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, functions as F
 
 
+# phase-1 aggregate builder and phase-2 refold per supported op.  ONLY
+# algebraic aggregates decompose over salts: avg() would become a sum of
+# per-salt averages, DISTINCT aggregates would count a value once per
+# salt — both silently wrong, hence the explicit whitelist (Column
+# introspection cannot detect DISTINCT: Spark 4 renders count(DISTINCT x)
+# as plain 'count(x)' and Connect Columns expose no expression at all).
+_SALTED_OPS = {
+    "sum": (F.sum, F.sum),
+    "count": (F.count, F.sum),
+    "min": (F.min, F.min),
+    "max": (F.max, F.max),
+}
+
+
 def salted_agg(df: DataFrame, key_cols: list[str],
-               aggs: dict[str, Column], n_salts: int = 16) -> DataFrame:
+               aggs: dict[str, tuple[str, str] | Column],
+               n_salts: int = 16) -> DataFrame:
     """Two-phase groupBy with salt spreading.
 
-    ``aggs`` maps output column name -> phase-1 aggregate Column.  Only
-    algebraic aggregates decompose over the two phases — sum / count /
-    min / max (count re-aggregates as sum) — and anything else raises:
-    silently refolding e.g. avg() as a sum of per-salt averages would
-    return wrong answers.  Results are identical to the unsalted
-    ``df.groupBy(*key_cols).agg(...)``.
+    ``aggs`` maps output column name -> ("op", column) with op in
+    {sum, count, min, max}; column is a name or a Column expression
+    (use "*" with count for row counts).
+    Results are identical to the unsalted
+    ``df.groupBy(*key_cols).agg(...)``; non-algebraic aggregates (avg,
+    DISTINCT forms, ...) are rejected by construction.
     """
+    specs: dict[str, tuple[str, str]] = {}
+    for name, spec in aggs.items():
+        if not (isinstance(spec, tuple) and len(spec) == 2
+                and spec[0] in _SALTED_OPS):
+            raise ValueError(
+                f"salted_agg aggregate {name!r} must be ('op', 'column') "
+                f"with op in {sorted(_SALTED_OPS)}; got {spec!r}. "
+                "Non-algebraic aggregates (avg, DISTINCT, ...) cannot "
+                "decompose over salts.")
+        specs[name] = spec
+
     salted = df.withColumn(
         "_salt", (F.pmod(F.xxhash64(F.monotonically_increasing_id()),
                          F.lit(n_salts))).cast("int"))
 
     phase1 = salted.groupBy(*key_cols, "_salt").agg(
-        *[c.alias(f"_p1_{name}") for name, c in aggs.items()])
-
-    def refold(name: str, col: Column) -> Column:
-        if not hasattr(col, "_jc"):
-            raise NotImplementedError(
-                "salted_agg aggregate introspection needs classic PySpark "
-                "Columns (no _jc on this object — Spark Connect?); pass "
-                "only sum/count/min/max and use plain groupBy on Connect")
-        fn = col._jc.toString().lower()
-        p1 = F.col(f"_p1_{name}")
-        if fn.startswith(("count(", "count_if(", "sum(")):
-            return F.sum(p1).alias(name)
-        if fn.startswith("min("):
-            return F.min(p1).alias(name)
-        if fn.startswith("max("):
-            return F.max(p1).alias(name)
-        raise ValueError(
-            f"salted_agg only decomposes sum/count/min/max; got {fn!r} "
-            f"for {name!r} (avg and friends are not algebraic over salts)")
+        *[_SALTED_OPS[op][0](col).alias(f"_p1_{name}")
+          for name, (op, col) in specs.items()])
 
     return phase1.groupBy(*key_cols).agg(
-        *[refold(name, c) for name, c in aggs.items()])
+        *[_SALTED_OPS[op][1](F.col(f"_p1_{name}")).alias(name)
+          for name, (op, _) in specs.items()])
 
 
 def domain_of(url_col: Column) -> Column:
@@ -77,7 +87,7 @@ def domain_stats(webpages: DataFrame, n_salts: int = 16) -> DataFrame:
         F.length("text").alias("_chars"))
     return salted_agg(
         keyed, ["domain"],
-        {"n_pages": F.count("*"),
-         "total_chars": F.sum("_chars"),
-         "max_chars": F.max("_chars")},
+        {"n_pages": ("count", "*"),
+         "total_chars": ("sum", "_chars"),
+         "max_chars": ("max", "_chars")},
         n_salts=n_salts)

@@ -24,6 +24,14 @@ import subprocess
 import sys
 import time
 
+# make `python scripts/scaling_bench.py --level N` work without PYTHONPATH,
+# both driver-side (sys.path) and in the spawned executor python workers
+# (they inherit the env, not the driver's sys.path)
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, _REPO)
+os.environ["PYTHONPATH"] = (
+    _REPO + os.pathsep + os.environ.get("PYTHONPATH", "")).rstrip(os.pathsep)
+
 N_KEYS = int(os.environ.get("SCALING_N_KEYS", 20_000_000))
 SHARD_BITS = int(os.environ.get("SCALING_SHARD_BITS", 6))
 
@@ -63,7 +71,8 @@ def run_level(cpus: int) -> dict:
 
     # best-of-5 with per-run hypervisor steal recorded: this sandbox VM
     # suffers heavy steal bursts under load, so single runs are noisy
-    best_build, best_probe, steal_s = float("inf"), float("inf"), 0.0
+    best_build, steal_s = float("inf"), 0.0
+    sf = None
     for _ in range(5):
         s0 = steal_jiffies()
         t0 = time.perf_counter()
@@ -73,7 +82,13 @@ def run_level(cpus: int) -> dict:
         st = (steal_jiffies() - s0) / 100.0
         if dt < best_build:
             best_build, steal_s = dt, st
-        contains = sf.contains_udf(spark)
+    # ONE probe udf, warmed once then timed: a fresh udf per iteration
+    # would re-broadcast the payloads and re-deserialize all shards in
+    # every worker, timing one-off setup instead of steady-state probes
+    contains = sf.contains_udf(spark)
+    assert keys.where(contains(F.col("key"))).count() == n  # warm + check
+    best_probe = float("inf")
+    for _ in range(3):
         t0 = time.perf_counter()
         n_pass = keys.where(contains(F.col("key"))).count()
         best_probe = min(best_probe, time.perf_counter() - t0)

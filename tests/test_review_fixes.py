@@ -78,9 +78,12 @@ def test_empty_filter_all_kinds():
 def test_salted_agg_rejects_non_algebraic(spark, sf_dir):
     from fastfilter_spark.operators.skew import salted_agg
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
-    with pytest.raises(ValueError, match="avg|algebraic"):
-        salted_agg(li, ["l_returnflag"],
-                   {"bad": F.avg("l_quantity")}).collect()
+    # raw Columns (the old API) and unsupported ops are both rejected —
+    # there is no way to sneak avg/DISTINCT through the spec form
+    with pytest.raises(ValueError, match="algebraic|op"):
+        salted_agg(li, ["l_returnflag"], {"bad": F.avg("l_quantity")})
+    with pytest.raises(ValueError, match="algebraic|op"):
+        salted_agg(li, ["l_returnflag"], {"bad": ("avg", "l_quantity")})
 
 
 def test_streaming_sketch_replay_idempotent(spark, tmp_path):

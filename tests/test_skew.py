@@ -10,9 +10,9 @@ def test_salted_agg_equals_unsalted(spark, sf_dir):
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
     salted = salted_agg(
         li, ["l_returnflag"],
-        {"n": F.count("*"),
-         "qty": F.sum(F.col("l_quantity").cast("long")),
-         "maxp": F.max(F.col("l_extendedprice"))},
+        {"n": ("count", "*"),
+         "qty": ("sum", F.col("l_quantity").cast("long")),
+         "maxp": ("max", F.col("l_extendedprice"))},
         n_salts=8)
     plain = li.groupBy("l_returnflag").agg(
         F.count("*").alias("n"),
