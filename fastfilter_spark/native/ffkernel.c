@@ -166,8 +166,13 @@ void ff_xor_prepare(const uint64_t *keys, int64_t n, uint64_t seed,
                     uint64_t *tmp, int64_t *bucket_pos,
                     uint64_t *mixed, int32_t *g0, int32_t *g1, int32_t *g2,
                     int64_t *state) {
-    int shift = 32;
-    while ((1u << (32 - shift)) < nbuckets) shift--;
+    /* start at 31, not 32: a 32-bit shift by 32 is UB, reachable when
+     * nbuckets <= 2.  With nbuckets == 1 this degrades to a 2-bucket
+     * ordering (indices 0/1; bucket_pos has nbuckets+2 slots, and
+     * placement only reads start offsets 0..1), which is just as valid a
+     * locality ordering. */
+    int shift = 31;
+    while (shift > 0 && (1u << (32 - shift)) < nbuckets) shift--;
     for (int64_t b = 0; b <= (int64_t)nbuckets; b++) bucket_pos[b] = 0;
     for (int64_t i = 0; i < n; i++) {
         uint64_t h = mm64(keys[i] + seed);

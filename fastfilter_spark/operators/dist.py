@@ -67,8 +67,22 @@ from fastfilter_spark.operators.local import build_filter, filter_from_bytes
 
 # Worker-process-global cache of deserialized shard filters (see
 # ShardedFilter.contains_udf); python workers are reused across tasks, so
-# this amortizes deserialization to once per worker per filter.
-_worker_filter_cache: dict = {}
+# this amortizes deserialization to once per worker per filter.  Bounded
+# LRU: long-lived workers probing many distinct filters must not
+# accumulate every shard list forever (each can be GBs at high
+# shard_bits).  4 concurrent filters per worker covers realistic probe
+# fan-in; an evicted filter just re-deserializes on next touch.
+_WORKER_CACHE_MAX = 4
+_worker_filter_cache: "dict[str, list]" = {}
+
+
+def _worker_cache_put(token: str, filters: list) -> None:
+    if token in _worker_filter_cache:
+        return
+    while len(_worker_filter_cache) >= _WORKER_CACHE_MAX:
+        # dicts iterate in insertion order -> oldest first
+        _worker_filter_cache.pop(next(iter(_worker_filter_cache)))
+    _worker_filter_cache[token] = filters
 
 # One row per shard; `payload` is the reference wire format (to_bytes).
 FILTER_TABLE_SCHEMA = StructType([
@@ -252,7 +266,7 @@ class ShardedFilter:
             filters = _worker_filter_cache.get(cache_key)
             if filters is None:
                 filters = [filter_from_bytes(p, kind) for p in get_payloads()]
-                _worker_filter_cache[cache_key] = filters
+                _worker_cache_put(cache_key, filters)
             keys = K.to_uint64(s.to_numpy())
             out = np.zeros(keys.size, dtype=bool)
             shards = shard_of_hash(keys, shard_bits)
@@ -293,7 +307,7 @@ class ShardedFilter:
             filters = _worker_filter_cache.get(cache_key)
             if filters is None:
                 filters = [filter_from_bytes(p, kind) for p in get_payloads()]
-                _worker_filter_cache[cache_key] = filters
+                _worker_cache_put(cache_key, filters)
             for batch in batches:
                 keys = K.to_uint64(
                     batch.column(key_col).to_numpy(zero_copy_only=False))
@@ -327,6 +341,7 @@ def build_sharded(
     shard_bits: int | None = None,
     target_keys_per_shard: int = 1 << 22,
     checkpoint_dir: str | None = None,
+    validate_checkpoint: bool = True,
 ) -> tuple[ShardedFilter, DataFrame]:
     """Build a sharded filter over ``df[key_col]`` (int64 keys).
 
@@ -357,7 +372,8 @@ def build_sharded(
         try:
             existing = spark.read.schema(FILTER_TABLE_SCHEMA) \
                 .parquet(checkpoint_dir)
-            meta = existing.select("shard", "kind", "num_shards").collect()
+            meta = existing.select(
+                "shard", "kind", "num_shards", "input_rows").collect()
         except Exception:
             meta = []
         if meta:
@@ -374,6 +390,30 @@ def build_sharded(
                     f"(kind={kind}, num_shards={num_shards}); "
                     "use a fresh directory")
             done = {r["shard"] for r in meta}
+        if done and validate_checkpoint:
+            # input-identity check: a resume against a CHANGED/GROWN input
+            # would silently reuse stale shard payloads — new keys routed
+            # to a 'done' shard would get false negatives, breaking the
+            # zero-false-negative guarantee.  Stored input_rows is the
+            # exact pre-dedup row count the kernel saw, so recount the
+            # current input per shard (map-side partial agg; only key+
+            # shard columns scan) and require equality for done shards.
+            stored = {r["shard"]: r["input_rows"] for r in meta}
+            current = {r["shard"]: r["n"] for r in
+                       keyed.groupBy("shard").agg(F.count("*").alias("n"))
+                       .collect()}
+            bad = {s: (stored[s], current.get(s, 0))
+                   for s in done if stored[s] != current.get(s, 0)}
+            if bad:
+                ex = dict(list(sorted(bad.items()))[:4])
+                raise ValueError(
+                    f"checkpoint_dir {checkpoint_dir} was built from a "
+                    f"different input: per-shard row counts differ on "
+                    f"{len(bad)} completed shard(s) "
+                    f"(shard: (checkpointed, current)) {ex}; resuming "
+                    "would reuse stale payloads and produce false "
+                    "negatives — use a fresh directory "
+                    "(or validate_checkpoint=False to override)")
         if done:
             keyed = keyed.where(~F.col("shard").isin([int(s) for s in done]))
 
@@ -430,6 +470,15 @@ def probe_via_join(probes: DataFrame, key_col: str,
         if len(filt_pdf) == 0:  # shard never built => no members
             return pd.DataFrame({"key": keys.view(np.int64),
                                  "member": np.zeros(keys.size, dtype=bool)})
+        if len(filt_pdf) > 1:
+            # mirror from_filter_table's duplicate-shard error: probing an
+            # arbitrary row could pick a stale payload (e.g. overlapping
+            # checkpoint appends) and silently return false negatives
+            raise ValueError(
+                f"filter table has {len(filt_pdf)} rows for shard "
+                f"{int(filt_pdf['shard'].iloc[0])} (overlapping builds "
+                "appending to one checkpoint_dir?); deduplicate the table "
+                "(latest-wins) before probing")
         f = filter_from_bytes(bytes(filt_pdf["payload"].iloc[0]),
                               filt_pdf["kind"].iloc[0])
         return pd.DataFrame({"key": keys.view(np.int64),

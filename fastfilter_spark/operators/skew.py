@@ -60,8 +60,18 @@ def salted_agg(df: DataFrame, key_cols: list[str],
                 "decompose over salts.")
         specs[name] = spec
 
+    # Deterministic per-row salt: hash of ALL input columns.  A
+    # nondeterministic salt (monotonically_increasing_id, rand) is the
+    # classic shuffle hazard — a map task re-executed after a
+    # shuffle-fetch failure would assign different salts than the lost
+    # attempt, duplicating/dropping phase-1 partials.  Hashing the row
+    # content is stable across retries; rows identical in every column
+    # share a salt, which costs nothing for correctness and only matters
+    # for spreading if the hot key's rows are ALSO byte-identical
+    # (upstream exact-dedup handles that case).
     salted = df.withColumn(
-        "_salt", (F.pmod(F.xxhash64(F.monotonically_increasing_id()),
+        "_salt", (F.pmod(F.xxhash64(F.lit(0x5A17), *[F.col(c) for c in
+                                                     df.columns]),
                          F.lit(n_salts))).cast("int"))
 
     phase1 = salted.groupBy(*key_cols, "_salt").agg(
