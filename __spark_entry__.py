@@ -80,16 +80,18 @@ def _membership_sql(table: str, col: str) -> str:
 
 
 def q_bloom_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import numpy as np
-
-    from fastfilter_spark.operators.sketch_agg import bloom_sketch
+    """Bloom build + DISTRIBUTED probe: the filter bytes are broadcast
+    and probed via a pandas UDF ``where()`` — no key collect() to the
+    driver (Bloom has no false negatives, hence the SQL oracle)."""
+    from fastfilter_spark.operators.sketch_agg import (
+        bloom_contains_udf, bloom_sketch)
     df = _t(spark, sf_dir, "orders")
     bf = bloom_sketch(df, "o_orderkey", fpp=0.01)
-    keys = np.array([r[0] for r in
-                     df.select("o_orderkey").distinct().collect()],
-                    dtype=np.int64)
-    n_pass = int(bf.contains(keys).sum())
-    return spark.createDataFrame([(int(keys.size), n_pass)],
+    keys = df.select("o_orderkey").distinct()
+    n_keys = keys.count()
+    n_pass = keys.where(
+        bloom_contains_udf(bf, spark)(F.col("o_orderkey"))).count()
+    return spark.createDataFrame([(n_keys, n_pass)],
                                  "n_keys long, n_pass long")
 
 
@@ -265,84 +267,170 @@ def q_events_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# non-SQL-expressible queries (driver records rows-only)
+# sketch queries with bound-check oracles: the probabilistic estimate is
+# converted to DuckDB-checkable output = (exact value computable in SQL,
+# within_bound flag vs the algorithm's published error bound).  The flag
+# is an INVARIANT (must always be 1 for a correct implementation), so the
+# oracle is exact SQL + a constant — the driver's hard signal now covers
+# the sketch layer (VERDICT.md next-round item 1).
 # ---------------------------------------------------------------------------
 
 def q_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL estimate vs exact distinct: |est-exact|/exact <= 3 sigma where
+    sigma = 1.04/sqrt(2^p) (Flajolet et al. 2007)."""
+    import math
+
     from fastfilter_spark.operators.sketch_agg import hll_count_distinct
     li = _t(spark, sf_dir, "lineitem")
-    est = hll_count_distinct(li, "l_orderkey", p=12)
-    return spark.createDataFrame([(int(round(est)),)], "hll_estimate long")
+    p = 12
+    est = hll_count_distinct(li, "l_orderkey", p=p)
+    exact = li.select(F.count_distinct("l_orderkey")).first()[0]
+    bound = 3 * 1.04 / math.sqrt(1 << p)
+    ok = int(abs(est - exact) / exact <= bound)
+    return spark.createDataFrame([(int(exact), ok)],
+                                 "n_exact long, within_bound int")
 
 
-def q_kll_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from fastfilter_spark.operators.sketch_agg import kll_quantiles
-    li = _t(spark, sf_dir, "lineitem")
-    qs = [0.1, 0.5, 0.9]
-    vals = kll_quantiles(li, "l_extendedprice", qs)
-    return spark.createDataFrame(
-        [(float(q), float(v)) for q, v in zip(qs, vals)], "q double, value double")
+def _quantile_rank_query(kind: str):
+    """KLL / t-digest: realized rank of each estimated quantile must sit
+    within eps=0.03 of the target (the bound test_sketches.py asserts for
+    merged sketches).  Output = (q_pct, n_vals, within_bound) — n_vals is
+    exact-SQL-checkable, within_bound an invariant constant."""
+
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from fastfilter_spark.operators.sketch_agg import (
+            kll_quantiles, tdigest_quantiles)
+        li = _t(spark, sf_dir, "lineitem")
+        qs = [0.1, 0.5, 0.9]
+        fn = kll_quantiles if kind == "kll" else tdigest_quantiles
+        vals = fn(li, "l_extendedprice", qs)
+        n = li.where(F.col("l_extendedprice").isNotNull()).count()
+        eps = 0.03
+        rows = []
+        for q, v in zip(qs, vals):
+            lo = li.where(F.col("l_extendedprice") < float(v)).count() / n
+            hi = li.where(F.col("l_extendedprice") <= float(v)).count() / n
+            # true rank of v lies in [lo, hi]; bound holds if that
+            # interval intersects [q-eps, q+eps]
+            ok = int(lo <= q + eps and hi >= q - eps)
+            rows.append((int(round(q * 100)), n, ok))
+        return spark.createDataFrame(
+            rows, "q_pct int, n_vals long, within_bound int")
+
+    return run
 
 
-def q_tdigest_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from fastfilter_spark.operators.sketch_agg import tdigest_quantiles
-    li = _t(spark, sf_dir, "lineitem")
-    qs = [0.1, 0.5, 0.9]
-    vals = tdigest_quantiles(li, "l_extendedprice", qs)
-    return spark.createDataFrame(
-        [(float(q), float(v)) for q, v in zip(qs, vals)], "q double, value double")
+q_kll_quantiles = _quantile_rank_query("kll")
+q_tdigest_quantiles = _quantile_rank_query("tdigest")
+
+
+def _quantile_rank_oracle() -> str:
+    return (
+        "SELECT q_pct, (SELECT count(*) FROM lineitem "
+        "WHERE l_extendedprice IS NOT NULL) AS n_vals, "
+        "CAST(1 AS INT) AS within_bound "
+        "FROM (VALUES (CAST(10 AS INT)), (CAST(50 AS INT)), "
+        "(CAST(90 AS INT))) AS t(q_pct) ORDER BY q_pct")
 
 
 def q_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min over the top-5 heavy hitters: est >= true (structural
+    guarantee) and est <= true + ceil(e/width * N) (Cormode-Muthukrishnan
+    bound).  true_count is exact SQL; the two flags are invariants."""
+    import math
+
     import numpy as np
 
     from fastfilter_spark.operators.sketch_agg import cms_sketch
     li = _t(spark, sf_dir, "lineitem")
-    cms = cms_sketch(li, "l_suppkey", width=4096, depth=5)
+    width, depth = 4096, 5
+    cms = cms_sketch(li, "l_suppkey", width=width, depth=depth)
+    n_total = li.count()
+    slack = math.ceil(math.e / width * n_total)
     top = li.groupBy("l_suppkey").count() \
         .orderBy(F.desc("count"), "l_suppkey").limit(5).collect()
-    rows = [(int(r["l_suppkey"]),
-             int(cms.query(np.array([r["l_suppkey"]], dtype=np.int64))[0]))
-            for r in top]
-    return spark.createDataFrame(rows, "l_suppkey long, est_count long")
+    rows = []
+    for r in top:
+        true = int(r["count"])
+        est = int(cms.query(np.array([r["l_suppkey"]], dtype=np.int64))[0])
+        rows.append((int(r["l_suppkey"]), true,
+                     int(est >= true), int(est <= true + slack)))
+    return spark.createDataFrame(
+        rows, "l_suppkey long, true_count long, overcount_ok int, bound_ok int")
+
+
+# ---------------------------------------------------------------------------
+# near-dup queries with planted-duplicate oracles: plant N near-copies at
+# doc_id + 1_000_000 (original ids stay far below), run the operator, and
+# report how many planted pairs (id_b == id_a + 1_000_000) were recovered.
+# Recovery is deterministic (fixed hash seeds, fixed data), and a correct
+# LSH tuned to the threshold recovers ALL planted pairs here — so the
+# oracle is the literal (n_planted, n_planted).  Planting starts from the
+# exact-deduped originals so every planted pair has a unique surviving
+# partner (an exact-dup original would collapse onto its representative
+# and shift the pair's id delta).
+# ---------------------------------------------------------------------------
+
+_PLANT_OFFSET = 1_000_000
+
+
+def _planted_recovery(pairs: DataFrame, n_planted: int) -> DataFrame:
+    spark = pairs.sparkSession
+    n_rec = pairs.where(
+        F.col("id_b") - F.col("id_a") == _PLANT_OFFSET).count()
+    return spark.createDataFrame([(n_planted, n_rec)],
+                                 "n_planted long, n_recovered long")
 
 
 def q_minhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from fastfilter_spark.operators.dedup import minhash_dedup_pairs
+    from fastfilter_spark.operators.dedup import (
+        exact_dedup, minhash_dedup_pairs)
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
-    near = docs.orderBy("doc_id").limit(15).select(
-        (F.col("doc_id") + 1_000_000).alias("doc_id"),
+    base = exact_dedup(docs)
+    near = base.orderBy("doc_id").limit(15).select(
+        (F.col("doc_id") + _PLANT_OFFSET).alias("doc_id"),
         F.concat(F.col("text"), F.lit(" tail tail tail")).alias("text"))
     pairs = minhash_dedup_pairs(docs.unionAll(near), threshold=0.5,
                                 n_hashes=64, bands=16)
-    return pairs.select("id_a", "id_b").orderBy("id_a", "id_b")
+    return _planted_recovery(pairs, 15)
 
 
 def q_simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from fastfilter_spark.operators.dedup import simhash_pairs
+    from fastfilter_spark.operators.dedup import exact_dedup, simhash_pairs
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
-    near = docs.orderBy("doc_id").limit(15).select(
-        (F.col("doc_id") + 1_000_000).alias("doc_id"),
+    base = exact_dedup(docs)
+    near = base.orderBy("doc_id").limit(15).select(
+        (F.col("doc_id") + _PLANT_OFFSET).alias("doc_id"),
         F.concat(F.col("text"), F.lit(" x")).alias("text"))
-    return simhash_pairs(docs.unionAll(near), max_hamming=6) \
-        .orderBy("id_a", "id_b")
+    pairs = simhash_pairs(docs.unionAll(near), max_hamming=6)
+    return _planted_recovery(pairs, 15)
 
 
 def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Planted EXACT vector copies (cosine 1.0): identical vectors land
+    in identical LSH buckets for every plane set, so recovery is 100%
+    deterministically."""
     from fastfilter_spark.operators.dedup import embedding_near_dup
     emb = _t(spark, sf_dir, "embeddings")
     dup = emb.orderBy("vec_id").limit(10).select(
-        (F.col("vec_id") + 1_000_000).alias("vec_id"), "embedding")
+        (F.col("vec_id") + _PLANT_OFFSET).alias("vec_id"), "embedding")
     mixed = emb.select("vec_id", "embedding").unionAll(dup)
-    return embedding_near_dup(mixed, threshold=0.999, n_planes=8) \
-        .select("id_a", "id_b").orderBy("id_a", "id_b")
+    pairs = embedding_near_dup(mixed, threshold=0.999, n_planes=8)
+    return _planted_recovery(pairs, 10)
 
 
 def q_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF recall vs brute force at nprobe=3/8: emits an invariant flag
+    (recall >= 2/3 over 3 queries x top-5; the synthetic embeddings are
+    near-uniform random, so the recall plateau is lower than on real
+    clustered corpora — measured 11/15 here, deterministic for the fixed
+    data + kmeans seed).  The exact-path twin q_ivf_fullprobe_topk has a
+    full SQL oracle; per-query hit counts are asserted in
+    tests/test_text_dedup.py."""
     from fastfilter_spark.operators.similarity import (
         IVFIndex, brute_force_topk)
     emb = _t(spark, sf_dir, "embeddings")
-    idx = IVFIndex.fit(emb, ncells=8)
+    idx = IVFIndex.fit(emb.orderBy("vec_id"), ncells=8)
     assigned = idx.assign(emb)
     hits = 0
     for r in emb.orderBy("vec_id").limit(3).collect():
@@ -351,11 +439,30 @@ def q_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         approx = {x["vec_id"] for x in
                   idx.search(assigned, q, 5, nprobe=3).collect()}
         hits += len(exact & approx)
-    return spark.createDataFrame([(3, 5, hits)],
-                                 "n_queries long, k long, hits long")
+    return spark.createDataFrame([(3, 5, int(hits >= 10))],
+                                 "n_queries long, k long, recall_ok int")
+
+
+def q_ivf_fullprobe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF with nprobe == ncells degenerates to exact search — DuckDB can
+    verify the full result (the hard-oracle twin of q_ivf_recall)."""
+    from pyspark.sql import Window
+
+    from fastfilter_spark.operators.similarity import IVFIndex
+    emb = _t(spark, sf_dir, "embeddings")
+    idx = IVFIndex.fit(emb.orderBy("vec_id"), ncells=8)
+    assigned = idx.assign(emb)
+    qvec = list(emb.where(F.col("vec_id") == 7).first()["embedding"])
+    top = idx.search(assigned, qvec, k=5, nprobe=8)
+    w = Window.orderBy(F.desc("cosine"), F.col("vec_id"))
+    return top.withColumn("rank", F.row_number().over(w)) \
+        .select("rank", "vec_id")
 
 
 def q_webpages_invariant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic synthesis: exactly n_pages rows and byte-identical
+    re-extraction (the north-rule per-row invariant) — both constants a
+    SQL oracle can state."""
     from fastfilter_spark.sources.webpages import (
         extraction_mismatch_count, synthesize_webpages)
     wp = synthesize_webpages(spark, 2000, seed=42)
@@ -372,26 +479,45 @@ def q_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("media_id", "phash").orderBy("media_id")
 
 
+def _expected_image_phashes(n: int = 50, seed: int = 42) -> list[tuple]:
+    """Driver-side pure-python recomputation of the deterministic fake
+    pipeline (same library code, no Spark) — the oracle literal for
+    q_image_features, proving the distributed mapInPandas plumbing
+    (batching, schema, meta handling) didn't mangle anything."""
+    import numpy as np
+
+    from fastfilter_spark.functions import kernels as K
+    from fastfilter_spark.operators.multimodal import (
+        _fake_decode_image, _phash64)
+    out = []
+    for i in range(n):
+        stream = K.splitmix64_stream(int(K.mix_split(
+            np.array([i], dtype=np.uint64), seed)[0]), 64)
+        img = _fake_decode_image(stream.astype("<u8").tobytes(), 32, 16)
+        out.append((i, int(_phash64(img))))
+    return out
+
+
 def q_filter_serialization(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Round-trip every filter kind through bytes + packed bytes; emits
-    (kind, roundtrip_ok, packed_ok) — the distributed analog of
-    tests/unit.c:65-76."""
+    (kind, roundtrip_ok, packed_ok) as 0/1 invariants — the distributed
+    analog of tests/unit.c:65-76, with a constant-table SQL oracle."""
     import numpy as np
 
     from fastfilter_spark.operators.local import (
         build_filter, filter_from_bytes)
     keys = np.arange(5000, dtype=np.uint64) * np.uint64(0x9E3779B97F4A7C15)
     rows = []
-    for kind in ("xor8", "xor16", "fuse8", "fuse16", "fuse32"):
+    for kind in ("fuse16", "fuse32", "fuse8", "xor16", "xor8"):
         f = build_filter(keys, kind)
         rt = filter_from_bytes(f.to_bytes(), kind)
-        ok = bool(rt.contain(keys).all())
+        ok = int(bool(rt.contain(keys).all()))
         unpacked = type(f).unpack(f.pack(), f.fingerprint_bits)
-        pok = bool(unpacked.contain(keys).all()
-                   and (unpacked.fingerprints == f.fingerprints).all())
+        pok = int(bool(unpacked.contain(keys).all()
+                       and (unpacked.fingerprints == f.fingerprints).all()))
         rows.append((kind, ok, pok))
     return spark.createDataFrame(
-        rows, "kind string, roundtrip_ok boolean, packed_ok boolean")
+        rows, "kind string, roundtrip_ok int, packed_ok int")
 
 
 # ---------------------------------------------------------------------------
@@ -422,6 +548,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # similarity
         "ann_topk": q_ann_topk,
         "ivf_recall": q_ivf_recall,
+        "ivf_fullprobe_topk": q_ivf_fullprobe_topk,
         # sketches (north_rule)
         "hll_distinct": q_hll_distinct,
         "kll_quantiles": q_kll_quantiles,
@@ -531,4 +658,49 @@ def oracle_sql() -> dict[str, str]:
             "SELECT event_type, count(*) AS n_events, "
             "count(DISTINCT user_id) AS n_users FROM events "
             "GROUP BY event_type ORDER BY event_type"),
+        # -- bound-check / invariant oracles (see the sketch + near-dup
+        #    query docstrings: the flag columns are structural invariants
+        #    of a correct implementation, the data columns exact SQL) --
+        "filter_serialization": (
+            "SELECT kind, CAST(1 AS INT) AS roundtrip_ok, "
+            "CAST(1 AS INT) AS packed_ok FROM (VALUES ('fuse16'), "
+            "('fuse32'), ('fuse8'), ('xor16'), ('xor8')) AS t(kind) "
+            "ORDER BY kind"),
+        "hll_distinct": (
+            "SELECT count(DISTINCT l_orderkey) AS n_exact, "
+            "CAST(1 AS INT) AS within_bound FROM lineitem"),
+        "kll_quantiles": _quantile_rank_oracle(),
+        "tdigest_quantiles": _quantile_rank_oracle(),
+        "cms_heavy_hitters": (
+            "SELECT l_suppkey, count(*) AS true_count, "
+            "CAST(1 AS INT) AS overcount_ok, CAST(1 AS INT) AS bound_ok "
+            "FROM lineitem GROUP BY l_suppkey "
+            "ORDER BY true_count DESC, l_suppkey LIMIT 5"),
+        "minhash_near_dups": (
+            "SELECT CAST(15 AS BIGINT) AS n_planted, "
+            "CAST(15 AS BIGINT) AS n_recovered"),
+        "simhash_near_dups": (
+            "SELECT CAST(15 AS BIGINT) AS n_planted, "
+            "CAST(15 AS BIGINT) AS n_recovered"),
+        "embedding_near_dup": (
+            "SELECT CAST(10 AS BIGINT) AS n_planted, "
+            "CAST(10 AS BIGINT) AS n_recovered"),
+        "ivf_recall": (
+            "SELECT CAST(3 AS BIGINT) AS n_queries, CAST(5 AS BIGINT) "
+            "AS k, CAST(1 AS INT) AS recall_ok"),
+        "ivf_fullprobe_topk": (
+            "SELECT CAST(row_number() OVER "
+            "(ORDER BY list_cosine_similarity(embedding, "
+            "(SELECT embedding FROM embeddings WHERE vec_id = 7)) DESC, vec_id) "
+            "AS INT) AS rank, vec_id FROM embeddings "
+            "ORDER BY rank LIMIT 5"),
+        "webpages_invariant": (
+            "SELECT CAST(2000 AS BIGINT) AS n_pages, "
+            "CAST(0 AS BIGINT) AS n_mismatch"),
+        "image_features": (
+            "SELECT CAST(media_id AS BIGINT) AS media_id, "
+            "CAST(phash AS BIGINT) AS phash FROM (VALUES "
+            + ", ".join(f"({i}, {ph})"
+                        for i, ph in _expected_image_phashes(50))
+            + ") AS t(media_id, phash) ORDER BY media_id"),
     }

@@ -334,7 +334,7 @@ class ShardedFilter:
         return self.size_in_bytes() * 8.0 / max(1, n_keys)
 
 
-def build_sharded(
+def build_sharded_table(
     df: DataFrame,
     key_col: str,
     kind: str = "fuse8",
@@ -342,12 +342,23 @@ def build_sharded(
     target_keys_per_shard: int = 1 << 22,
     checkpoint_dir: str | None = None,
     validate_checkpoint: bool = True,
-) -> tuple[ShardedFilter, DataFrame]:
-    """Build a sharded filter over ``df[key_col]`` (int64 keys).
+) -> DataFrame:
+    """Build the filter TABLE without materializing payloads on the
+    driver.
 
-    Returns ``(filter, filter_table_df)``.  Plan shape (one shuffle; the
-    shard column is computed JVM-side inside whole-stage codegen, so no
-    Python runs before the per-shard kernel):
+    ``build_sharded`` collects every shard payload to construct the
+    broadcastable ``ShardedFilter`` — right for dim-table pruning (MBs),
+    wrong for a 10^12-key filter (~1.1 TB of payloads through the
+    driver, SCALE.md).  Callers that will probe with ``probe_via_join``
+    (which receives one shard row per task and needs no driver copy)
+    should use this instead: the result stays a DataFrame end-to-end —
+    write it to parquet/Iceberg, read it back, join-probe it; nothing
+    larger than the query plan ever lands on the driver.
+
+    Shards that received zero keys produce no row (groupBy emits
+    non-empty groups only); ``probe_via_join`` treats an absent shard as
+    all-non-member, which is exact for an empty shard.  Plan shape (one
+    shuffle; the shard column is JVM-side inside whole-stage codegen):
 
         scan -> select(key, shard = pmod(xxhash64(key), S))
              -> groupBy(shard)                       [THE shuffle]
@@ -356,7 +367,7 @@ def build_sharded(
 
     With ``checkpoint_dir`` the filter table is appended per-shard to
     parquet and a rerun builds only missing shards (resume-by-shard-id,
-    BASELINE.json:north_rule).
+    BASELINE.json:north_rule) after validating the input is unchanged.
     """
     spark = df.sparkSession
     if shard_bits is None:
@@ -426,6 +437,35 @@ def build_sharded(
             table = built
     else:
         table = spark.read.schema(FILTER_TABLE_SCHEMA).parquet(checkpoint_dir)
+    return table
+
+
+def build_sharded(
+    df: DataFrame,
+    key_col: str,
+    kind: str = "fuse8",
+    shard_bits: int | None = None,
+    target_keys_per_shard: int = 1 << 22,
+    checkpoint_dir: str | None = None,
+    validate_checkpoint: bool = True,
+) -> tuple[ShardedFilter, DataFrame]:
+    """Build a sharded filter over ``df[key_col]`` (int64 keys).
+
+    Returns ``(filter, filter_table_df)`` — the filter's payloads are
+    MATERIALIZED on the driver for broadcast probing
+    (``contains_udf``); when the filter is too large to broadcast and
+    probing goes through ``probe_via_join``, use ``build_sharded_table``
+    instead (same build plan, no driver materialization).
+    """
+    spark = df.sparkSession
+    if shard_bits is None:
+        approx = df.select(F.approx_count_distinct(key_col).alias("n")) \
+                   .collect()[0]["n"]
+        shard_bits = choose_shard_bits(approx, target_keys_per_shard)
+    num_shards = 1 << shard_bits
+    table = build_sharded_table(
+        df, key_col, kind=kind, shard_bits=shard_bits,
+        checkpoint_dir=checkpoint_dir, validate_checkpoint=validate_checkpoint)
 
     rows = [r.asDict() for r in table.collect()]
     # shards that received zero keys produce no kernel row (groupBy only

@@ -80,10 +80,41 @@ def _fake_decode_image(payload: bytes, width: int, height: int) -> np.ndarray:
     return np.tile(a, reps)[:need].reshape(height, width)
 
 
+_PHASH_WEIGHTS = np.uint64(1) << np.arange(63, -1, -1, dtype=np.uint64)
+
+
+def _phash64(img: np.ndarray) -> np.int64:
+    """Perceptual-hash-shaped fingerprint: 8x8 block means -> sign bits
+    vs the block mean, packed MSB-first into an int64."""
+    h, w = img.shape
+    blocks = img[:h // 8 * 8, :w // 8 * 8] \
+        .reshape(8, h // 8, 8, w // 8).mean(axis=(1, 3))
+    bits = (blocks > blocks.mean()).ravel()
+    return (bits.astype(np.uint64) * _PHASH_WEIGHTS) \
+        .sum(dtype=np.uint64).astype(np.int64)
+
+
+def _phash64_batch(imgs: np.ndarray) -> np.ndarray:
+    """Vectorized _phash64 over a uniform-shaped (n, h, w) stack —
+    bit-identical to the per-image form (same float64 block means, same
+    MSB-first packing)."""
+    n, h, w = imgs.shape
+    blocks = imgs[:, :h // 8 * 8, :w // 8 * 8] \
+        .reshape(n, 8, h // 8, 8, w // 8).mean(axis=(2, 4))
+    bits = blocks > blocks.mean(axis=(1, 2), keepdims=True)
+    return (bits.reshape(n, 64).astype(np.uint64) * _PHASH_WEIGHTS) \
+        .sum(axis=1, dtype=np.uint64).view(np.int64)
+
+
 def image_features(df: DataFrame, decode: str = "fake") -> DataFrame:
     """(media_id, mean_pixel, std_pixel, phash long): decode -> grayscale
-    stats + a perceptual-hash-shaped fingerprint (sign of deviations on a
-    downsampled 8x8 grid)."""
+    stats + a perceptual-hash fingerprint (_phash64).
+
+    Batch-vectorized: decode is per-image (that's the codec boundary),
+    but stats + phash run across the whole Arrow batch as one numpy
+    stack when shapes are uniform (the production common case — a real
+    pipeline resizes before featurizing); mixed-shape batches fall back
+    to per-image numpy, still with no pandas row iteration."""
     if decode not in ("fake", "real"):
         raise ValueError("decode must be 'fake' or 'real'")
 
@@ -94,29 +125,26 @@ def image_features(df: DataFrame, decode: str = "fake") -> DataFrame:
         for pdf in it:
             if not len(pdf):
                 continue
-            ids, means, stds, phashes = [], [], [], []
-            for _, row in pdf.iterrows():
-                if decode == "real":
-                    raise NotImplementedError(
-                        "real image decode requires PIL/opencv (not in this "
-                        "container); plug the codec in here")
-                m = row["meta"]
-                img = _fake_decode_image(bytes(row["payload"]),
-                                         m["width"], m["height"])
-                ids.append(row["media_id"])
-                means.append(float(img.mean()))
-                stds.append(float(img.std()))
-                # 8x8 block means -> sign bits (perceptual-hash shape)
-                h, w = img.shape
-                blocks = img[:h // 8 * 8, :w // 8 * 8] \
-                    .reshape(8, h // 8, 8, w // 8).mean(axis=(1, 3))
-                bits = (blocks > blocks.mean()).ravel()
-                ph = 0
-                for bit in bits:
-                    ph = (ph << 1) | int(bit)
-                phashes.append(np.int64(np.uint64(ph).astype(np.int64)))
-            yield pd.DataFrame({"media_id": ids, "mean_pixel": means,
-                                "std_pixel": stds, "phash": phashes})
+            if decode == "real":
+                raise NotImplementedError(
+                    "real image decode requires PIL/opencv (not in this "
+                    "container); plug the codec in here")
+            imgs = [_fake_decode_image(bytes(p), m["width"], m["height"])
+                    for p, m in zip(pdf["payload"].to_numpy(),
+                                    pdf["meta"].to_numpy())]
+            if len({im.shape for im in imgs}) == 1:
+                M = np.stack(imgs)
+                means = M.mean(axis=(1, 2))
+                stds = M.astype(np.float64).std(axis=(1, 2))
+                phashes = _phash64_batch(M)
+            else:
+                means = np.array([im.mean() for im in imgs])
+                stds = np.array([im.std() for im in imgs])
+                phashes = np.array([_phash64(im) for im in imgs],
+                                   dtype=np.int64)
+            yield pd.DataFrame({"media_id": pdf["media_id"].to_numpy(),
+                                "mean_pixel": means, "std_pixel": stds,
+                                "phash": phashes})
 
     return df.where(F.col("kind") == "image") \
         .mapInPandas(feats, schema=out_schema)
@@ -131,18 +159,19 @@ def audio_frame_sample(df: DataFrame, n_samples: int = 16,
         for pdf in it:
             if not len(pdf):
                 continue
-            ids, samples = [], []
-            for _, row in pdf.iterrows():
-                if decode == "real":
-                    raise NotImplementedError(
-                        "real audio decode requires ffmpeg/torchaudio; "
-                        "plug the codec in here")
-                raw = np.frombuffer(bytes(row["payload"]), dtype="<u8")
+            if decode == "real":
+                raise NotImplementedError(
+                    "real audio decode requires ffmpeg/torchaudio; "
+                    "plug the codec in here")
+            samples = []
+            for payload in pdf["payload"].to_numpy():
+                # decode is per-clip (codec boundary; lengths vary)
+                raw = np.frombuffer(bytes(payload), dtype="<u8")
                 wave = (raw.astype(np.float64) / 2**63 - 1.0)
                 idx = np.linspace(0, len(wave) - 1, n_samples).astype(int)
-                ids.append(row["media_id"])
                 samples.append(wave[idx].astype(np.float32))
-            yield pd.DataFrame({"media_id": ids, "samples": samples})
+            yield pd.DataFrame({"media_id": pdf["media_id"].to_numpy(),
+                                "samples": samples})
 
     return df.where(F.col("kind").isin("audio", "video")) \
         .mapInPandas(sample, schema="media_id long, samples array<float>")

@@ -134,6 +134,40 @@ def tdigest_quantiles(df: DataFrame, col: str, qs: list[float],
     return [sk.quantile(q) for q in qs]
 
 
+def bloom_contains_udf(bloom: Bloom, spark=None):
+    """Scalar pandas UDF ``long -> boolean`` probing a broadcast Bloom.
+
+    The distributed probe twin of ``ShardedFilter.contains_udf``: wire
+    bytes are broadcast once (torrent distribution), deserialized at most
+    once per python worker (bounded cache shared with the filter probes),
+    and each Arrow batch probes vectorized — no driver-side ``collect``
+    of the probe keys, so ``df.where(bloom_contains_udf(b, spark)(col))``
+    scales with executor count, not driver memory.
+    """
+    import uuid
+
+    import fastfilter_spark.operators.dist as _dist
+
+    token = uuid.uuid4().hex
+    if spark is not None:
+        bc = spark.sparkContext.broadcast(bloom.to_bytes())
+        get_bytes = lambda: bc.value  # noqa: E731
+    else:
+        blob = bloom.to_bytes()
+        get_bytes = lambda: blob  # noqa: E731
+
+    @F.pandas_udf("boolean")
+    def contains(s: pd.Series) -> pd.Series:
+        cached = _dist._worker_filter_cache.get(token)
+        if cached is None:
+            cached = [Bloom.from_bytes(get_bytes())]
+            _dist._worker_cache_put(token, cached)
+        vals = s.to_numpy().astype(np.int64)
+        return pd.Series(cached[0].contains(vals))
+
+    return contains
+
+
 def bloom_sketch(df: DataFrame, col: str, capacity: int | None = None,
                  fpp: float = 0.01,
                  hash_strings_col: bool | None = None) -> Bloom:
