@@ -19,25 +19,44 @@ built-in aggregates.
 from __future__ import annotations
 
 import os
+import shutil
 from typing import Callable
 
 import numpy as np
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+from pyspark.sql.types import LongType, StructField, StructType
 
 from fastfilter_spark.operators.dist import (
     FILTER_TABLE_SCHEMA, ShardedFilter, build_filter_rows, keys_with_shard,
 )
 
+# filter-table LOG row: one filter row per (shard, micro-batch that
+# touched it); reads resolve latest-wins by batch_id
+TABLE_LOG_SCHEMA = StructType(
+    list(FILTER_TABLE_SCHEMA.fields)
+    + [StructField("batch_id", LongType(), False)])
+
 
 class IncrementalFilterMaintainer:
     """foreachBatch sink keeping a sharded filter current over a key stream.
 
-    State = the checkpointed filter table (parquet, one row per shard)
-    plus per-shard key stores (parquet of raw keys, partitioned by shard).
-    A micro-batch appends its keys to the key store, then rebuilds ONLY
-    the shards it touched from their full key sets.  Shards untouched by
-    the batch keep their previous rows — lineage (seed, build_ms,
-    distinct_keys) stays per-shard accurate.
+    State = per-shard key stores (parquet of raw keys, partitioned by
+    shard) plus an append-only filter-table LOG (parquet rows of
+    ``FILTER_TABLE_SCHEMA`` + ``batch_id``).  A micro-batch appends its
+    keys to the key store, rebuilds ONLY the shards it touched from
+    their full key sets (partition-pruned read), and APPENDS the rebuilt
+    rows stamped with the batch id.  Readers resolve latest-wins per
+    shard, so untouched shards keep serving their previous rows — and,
+    unlike a read-modify-write of the whole table, nothing is ever
+    collected to the driver: per-batch cost is touched-shards only,
+    regardless of total filter size (at 2^18 shards the old
+    collect-and-rewrite was ~the whole TB-scale filter per batch).
+
+    Re-delivered batches (foreachBatch is at-least-once) are harmless:
+    the duplicate keys collapse in the in-kernel np.unique and the
+    duplicate log rows carry identical payloads; latest-wins picks one
+    deterministically.  ``compact()`` folds the log back to one row per
+    shard when it grows long.
     """
 
     def __init__(self, base_dir: str, key_col: str = "key",
@@ -57,40 +76,45 @@ class IncrementalFilterMaintainer:
         if keyed.isEmpty():
             return
         keyed.write.mode("append").partitionBy("shard").parquet(self.keys_dir)
-        touched = [r["shard"] for r in keyed.select("shard").distinct().collect()]
+        touched = [r["shard"] for r in
+                   keyed.select("shard").distinct().collect()]
 
         # rebuild touched shards from their full key history (partition
         # pruning: the key store is partitioned by shard, so untouched
-        # shards are never read)
+        # shards are never read), then append to the log — executors
+        # write their own shard rows, the driver moves only shard IDS
         store = spark.read.parquet(self.keys_dir) \
             .where(F.col("shard").isin([int(s) for s in touched]))
         rebuilt = build_filter_rows(store, self.kind, 1 << self.shard_bits)
-        rebuilt_rows = {r["shard"]: r for r in rebuilt.collect()}
-
-        # merge with previous table (untouched shards carry over)
-        prev = {}
-        try:
-            for r in spark.read.schema(FILTER_TABLE_SCHEMA) \
-                    .parquet(self.table_dir).collect():
-                prev[r["shard"]] = r
-        except Exception:
-            pass
-        prev.update(rebuilt_rows)
-        # collect() above materialized everything on the driver, so the
-        # overwrite of the directory we just read from is safe
-        spark.createDataFrame([r.asDict() for r in prev.values()],
-                              FILTER_TABLE_SCHEMA) \
-            .write.mode("overwrite").parquet(self.table_dir)
+        rebuilt.withColumn("batch_id", F.lit(int(batch_id)).cast("long")) \
+            .write.mode("append").parquet(self.table_dir)
 
     # -- reads ------------------------------------------------------------
 
-    def current_filter(self, spark: SparkSession) -> ShardedFilter:
+    def current_table(self, spark: SparkSession) -> DataFrame:
+        """Latest filter-table row per shard (FILTER_TABLE_SCHEMA shape,
+        no batch_id) — feed this to ``probe_via_join`` for probing that
+        never materializes payloads anywhere central."""
         if not os.path.isdir(self.table_dir):
             raise ValueError(
                 f"no micro-batch has been processed yet ({self.table_dir} "
                 "does not exist); attach() the stream first")
-        rows = spark.read.schema(FILTER_TABLE_SCHEMA) \
-            .parquet(self.table_dir).collect()
+        log = spark.read.schema(TABLE_LOG_SCHEMA).parquet(self.table_dir)
+        # input_rows tiebreak: a re-delivered batch logs the same shard
+        # twice with the same batch_id (identical payload, but the later
+        # row saw the re-appended keys, so input_rows is higher) — make
+        # the winner deterministic
+        w = Window.partitionBy("shard").orderBy(
+            F.desc("batch_id"), F.desc("input_rows"))
+        return (log.withColumn("_rn", F.row_number().over(w))
+                .where(F.col("_rn") == 1)
+                .drop("_rn", "batch_id"))
+
+    def current_filter(self, spark: SparkSession) -> ShardedFilter:
+        """Materialize the latest rows into a broadcastable ShardedFilter
+        (driver holds one copy — fine for broadcastable sizes; use
+        ``current_table`` + ``probe_via_join`` beyond that)."""
+        rows = [r.asDict() for r in self.current_table(spark).collect()]
         present = {r["shard"] for r in rows}
         num_shards = 1 << self.shard_bits
         if len(present) < num_shards:
@@ -98,15 +122,35 @@ class IncrementalFilterMaintainer:
             # (works for every kind — see local.empty_filter)
             from fastfilter_spark.operators.local import empty_filter
             payload = empty_filter(self.kind).to_bytes()
-            filler = [
+            rows += [
                 {"shard": s, "kind": self.kind, "num_shards": num_shards,
                  "input_rows": 0, "distinct_keys": 0, "seed": 0,
                  "size_bytes": len(payload), "build_ms": 0.0,
                  "payload": payload}
                 for s in range(num_shards) if s not in present]
-            rows = list(rows) + filler
-        return ShardedFilter.from_filter_table(
-            [r if isinstance(r, dict) else r.asDict() for r in rows])
+        return ShardedFilter.from_filter_table(rows)
+
+    # -- maintenance -------------------------------------------------------
+
+    def compact(self, spark: SparkSession) -> None:
+        """Fold the log to one (latest) row per shard.  The log grows by
+        touched-shard rows per micro-batch; compact periodically (e.g.
+        every N batches) to keep reads cheap.  Local-FS directory swap;
+        on an object store / Iceberg deployment this is a dynamic
+        partition overwrite instead."""
+        log = spark.read.schema(TABLE_LOG_SCHEMA).parquet(self.table_dir)
+        w = Window.partitionBy("shard").orderBy(
+            F.desc("batch_id"), F.desc("input_rows"))
+        latest = log.withColumn("_rn", F.row_number().over(w)) \
+            .where(F.col("_rn") == 1).drop("_rn")
+        tmp = self.table_dir + ".compact.tmp"
+        shutil.rmtree(tmp, ignore_errors=True)
+        latest.write.parquet(tmp)
+        old = self.table_dir + ".compact.old"
+        shutil.rmtree(old, ignore_errors=True)
+        os.rename(self.table_dir, old)
+        os.rename(tmp, self.table_dir)
+        shutil.rmtree(old)
 
     def attach(self, stream_df: DataFrame, checkpoint: str | None = None):
         """writeStream wiring: returns the started StreamingQuery."""
