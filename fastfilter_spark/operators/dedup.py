@@ -340,36 +340,50 @@ def simhash_pairs(df: DataFrame, id_col: str = "doc_id",
 def embedding_near_dup(df: DataFrame, id_col: str = "vec_id",
                        vec_col: str = "embedding",
                        threshold: float = 0.95,
-                       n_planes: int = 12) -> DataFrame:
+                       n_planes: int = 12,
+                       n_tables: int = 1,
+                       plane_seed: int = 0xC0DE) -> DataFrame:
     """Pairs with cosine >= threshold via random-hyperplane LSH buckets.
 
-    Sign-bit sketch of ``n_planes`` fixed random hyperplanes -> bucket;
-    exact cosine verify inside buckets (applyInPandas).  High-cosine
-    pairs collide with probability (1 - theta/pi)^n_planes; for 0.95+
-    cosine and 12 planes that's ~0.66 per table — callers needing recall
-    repeat with `plane_seed` variants and union.
+    Sign-bit sketch of ``n_planes`` random hyperplanes -> bucket; exact
+    cosine verify inside buckets (applyInPandas).  A pair at angle theta
+    collides in one table with probability (1 - theta/pi)^n_planes —
+    ~0.28 for cosine 0.95 at 12 planes — so recall comes from
+    ``n_tables`` independent plane sets (all derived from
+    ``plane_seed``), unioned and deduped: recall = 1-(1-p)^T, e.g.
+    ~0.98 at T=12 for cosine-0.95 pairs.  Candidate volume and shuffle
+    scale linearly with T (each row emits T bucket rows); exact dups
+    (cosine 1.0) collide in EVERY table, so T=1 suffices for them.
     """
-    rng = np.random.default_rng(0xC0DE)
+    if n_tables < 1:
+        raise ValueError("n_tables must be >= 1")
+    rng = np.random.default_rng(plane_seed)
 
     def bucket_fn(dim: int):
-        planes = rng.standard_normal((dim, n_planes))
+        # one contiguous draw keeps table 0 identical to the historical
+        # single-table behavior for the default seed
+        planes = rng.standard_normal((dim, n_tables * n_planes))
 
         def fn(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            weights = np.int64(1) << np.arange(n_planes - 1, -1, -1)
             for pdf in it:
                 if not len(pdf):
                     continue
                 M = np.stack(pdf[vec_col].map(np.asarray).to_numpy())
-                bits = (M @ planes) > 0
-                bucket = np.zeros(len(pdf), dtype=np.int64)
-                for j in range(n_planes):
-                    bucket = (bucket << 1) | bits[:, j]
-                yield pd.DataFrame({id_col: pdf[id_col], vec_col: pdf[vec_col],
-                                    "bucket": bucket})
+                bits = (M @ planes) > 0            # (n, T*P)
+                for t in range(n_tables):
+                    chunk = bits[:, t * n_planes:(t + 1) * n_planes]
+                    bucket = chunk.astype(np.int64) @ weights
+                    yield pd.DataFrame({
+                        id_col: pdf[id_col], vec_col: pdf[vec_col],
+                        "table": np.int32(t), "bucket": bucket})
         return fn
 
     dim = len(df.select(vec_col).first()[0])
     bucketed = df.select(id_col, vec_col).mapInPandas(
-        bucket_fn(dim), schema=f"{id_col} long, {vec_col} array<float>, bucket long")
+        bucket_fn(dim),
+        schema=f"{id_col} long, {vec_col} array<float>, "
+               "table int, bucket long")
 
     def verify(pdf: pd.DataFrame) -> pd.DataFrame:
         if len(pdf) < 2:
@@ -386,6 +400,6 @@ def embedding_near_dup(df: DataFrame, id_col: str = "vec_id",
         return pd.DataFrame({"id_a": lo, "id_b": hi,
                              "cosine": sims[ia[mask], ib[mask]]})
 
-    return bucketed.groupBy("bucket").applyInPandas(
+    return bucketed.groupBy("table", "bucket").applyInPandas(
         verify, schema="id_a long, id_b long, cosine double") \
         .dropDuplicates(["id_a", "id_b"])
