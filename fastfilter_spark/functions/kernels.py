@@ -204,6 +204,31 @@ def fuse_index_triple_exact(
     return tuple(out)
 
 
+def fuse_index_quad(
+    hashes: np.ndarray, segment_length: int, segment_length_mask: int,
+    segment_count_length: int,
+):
+    """4-wise binary-fuse index: h0 from the mulhi segment map, h1..h3 in
+    the next three segments with windowed XOR offsets from hash bits
+    [42:60), [21:39), [0:18).
+
+    The reference implements only the 3-wise hash (its arity-4 sizing
+    constants, binaryfusefilter.h:196-198/214-216, are dead code); this
+    is the natural general-arity extension from the binary-fuse paper
+    (Graf & Lemire 2022, §2).  The 21-bit window stride keeps the three
+    offset windows disjoint for every legal segment length (mask <=
+    2^18-1, reference cap 262144)."""
+    hashes = np.asarray(hashes, dtype=U64)
+    sl = segment_length & MASK32
+    mask = segment_length_mask & MASK32
+    h0 = mulhi(hashes, segment_count_length)
+    h0 &= MASK32
+    h1 = ((h0 + sl) & MASK32) ^ ((hashes >> 42) & mask)
+    h2 = ((h0 + 2 * sl) & MASK32) ^ ((hashes >> 21) & mask)
+    h3 = ((h0 + 3 * sl) & MASK32) ^ (hashes & mask)
+    return h0, h1, h2, h3
+
+
 _XXP1 = 0x9E3779B185EBCA87
 _XXP2 = 0xC2B2AE3D27D4EB4F
 _XXP3 = 0x165667B19E3779F9

@@ -126,11 +126,12 @@ def fuse_layout(size: int, arity: int = 3) -> tuple[int, int, int, int]:
 # shared wavefront peel
 # ---------------------------------------------------------------------------
 
-def _peel(n_cells: int, g0: np.ndarray, g1: np.ndarray, g2: np.ndarray,
+def _peel(n_cells: int, *gs: np.ndarray,
           fail_if_count_ge: int | None = None):
-    """Wavefront hypergraph peel over precomputed per-key cell triples.
+    """Wavefront hypergraph peel over precomputed per-key cell tuples
+    (3-wise for xor/fuse arity 3, 4-wise for fuse arity 4).
 
-    ``g0/g1/g2`` are int32 arrays (one global cell index per key row).  Per
+    ``gs`` are int32 arrays (one global cell index per key row).  Per
     cell we track ``counts`` (remaining keys) and ``rowmask`` (XOR of the
     row ids of remaining keys); when a cell's count reaches 1 its rowmask IS
     the remaining row id, so the peel loop needs no hash arithmetic at all.
@@ -149,18 +150,17 @@ def _peel(n_cells: int, g0: np.ndarray, g1: np.ndarray, g2: np.ndarray,
 
     Returns (rounds, total_peeled); each round is (rows, peel_cells).
     """
-    rows_all = np.arange(g0.size, dtype=np.int32)
-    counts = np.bincount(g0, minlength=n_cells)
-    counts += np.bincount(g1, minlength=n_cells)
-    counts += np.bincount(g2, minlength=n_cells)
+    rows_all = np.arange(gs[0].size, dtype=np.int32)
+    counts = np.bincount(gs[0], minlength=n_cells)
+    for g in gs[1:]:
+        counts += np.bincount(g, minlength=n_cells)
     counts = counts.astype(np.int32)
-    if fail_if_count_ge is not None and g0.size and \
+    if fail_if_count_ge is not None and gs[0].size and \
             int(counts.max()) >= fail_if_count_ge:
         return [], -1
     rowmask = np.zeros(n_cells, dtype=np.int32)
-    np.bitwise_xor.at(rowmask, g0, rows_all)
-    np.bitwise_xor.at(rowmask, g1, rows_all)
-    np.bitwise_xor.at(rowmask, g2, rows_all)
+    for g in gs:
+        np.bitwise_xor.at(rowmask, g, rows_all)
 
     cand = np.flatnonzero(counts == 1)
     rounds: list[tuple[np.ndarray, np.ndarray]] = []
@@ -188,8 +188,8 @@ def _peel(n_cells: int, g0: np.ndarray, g1: np.ndarray, g2: np.ndarray,
         total += rows.size
         # segmented decrement/XOR per touched cell (ufunc.at is ~200ns/elem;
         # a small sort + reduceat is several times faster)
-        upd = np.concatenate([g0[rows], g1[rows], g2[rows]])
-        r3 = np.tile(rows, 3)
+        upd = np.concatenate([g[rows] for g in gs])
+        r3 = np.tile(rows, len(gs))
         order = np.argsort(upd, kind="stable")
         u_s = upd[order]
         r_s = r3[order]
@@ -205,18 +205,20 @@ def _peel(n_cells: int, g0: np.ndarray, g1: np.ndarray, g2: np.ndarray,
 
 
 def _assign_fingerprints(fp: np.ndarray, rounds, fp_source: np.ndarray,
-                         g0: np.ndarray, g1: np.ndarray, g2: np.ndarray):
+                         *gs: np.ndarray):
     """Assign fingerprints in reverse peel order (vectorized per round).
 
-    fp[peel_cell] = fingerprint ^ fp[g0] ^ fp[g1] ^ fp[g2] works because
+    fp[peel_cell] = fingerprint ^ XOR_i fp[g_i] works because
     fp[peel_cell] is still 0 (each cell is a peel cell at most once) and no
     cell read here is written by a later assignment (a peel cell was
     singleton, so every other key touching it peeled — and is assigned —
     earlier in reverse order).  Mirrors xorfilter.h:836-852 /
-    binaryfusefilter.h:439-452 for an arbitrary valid peel order.
+    binaryfusefilter.h:439-452 for an arbitrary valid peel order, any arity.
     """
     for rows, cells in reversed(rounds):
-        val = fp_source[rows] ^ fp[g0[rows]] ^ fp[g1[rows]] ^ fp[g2[rows]]
+        val = fp_source[rows]
+        for g in gs:
+            val = val ^ fp[g[rows]]
         fp[cells] = val
 
 
@@ -371,6 +373,7 @@ class FuseFilter:
     array_length: int
     fingerprints: np.ndarray  # uint8 / uint16 / uint32
     fingerprint_bits: int
+    arity: int = 3            # 3 = reference-compatible; 4 = extension
 
     KIND_BITS = {8: "fuse8", 16: "fuse16", 32: "fuse32"}
     _DTYPES = {8: np.uint8, 16: np.uint16, 32: np.uint32}
@@ -384,7 +387,8 @@ class FuseFilter:
         return self.segment_length - 1
 
     @classmethod
-    def build(cls, keys, fingerprint_bits: int = 8) -> "FuseFilter":
+    def build(cls, keys, fingerprint_bits: int = 8,
+              arity: int = 3) -> "FuseFilter":
         """allocate+populate (binaryfusefilter.h:223-251, 280-460).
 
         Seed chain from counter=0x726b2b9d438b9d4d; reseed on failed attempt;
@@ -396,36 +400,48 @@ class FuseFilter:
         the state of the unique key set with `duplicates` = extras; we
         compute the same state directly from np.unique(hashes) and the same
         success condition peeled + duplicates == size (:425).
+
+        ``arity=4`` builds a 4-wise fuse filter with the reference's
+        arity-4 sizing constants (binaryfusefilter.h:196-198/214-216 —
+        dead code there; the reference hashes 3-wise only) and the
+        general-arity hash extension (kernels.fuse_index_quad).  ~7-8%
+        fewer bits/entry at the cost of a denser hypergraph (numpy peel
+        path; the native kernel is 3-wise).
         """
+        if arity not in (3, 4):
+            raise ValueError("arity must be 3 or 4")
         keys = K.to_uint64(keys)
         size = keys.size
         dtype = cls._DTYPES[fingerprint_bits]
-        seg_len, seg_cnt, seg_cnt_len, array_length = fuse_layout(size)
+        seg_len, seg_cnt, seg_cnt_len, array_length = fuse_layout(size, arity)
         mask = seg_len - 1
         rng_state = K.FUSE_RNG_START
         rng_state, seed = K.splitmix64(rng_state)
-        nat = native.get_kernel()
+        nat = native.get_kernel() if arity == 3 else None
 
         def triple(hashes):
             if nat is not None:
                 return nat.fuse_index_pre(hashes, seg_len, seg_cnt_len)
+            if arity == 4:
+                return tuple(g.astype(np.int32) for g in K.fuse_index_quad(
+                    hashes, seg_len, mask, seg_cnt_len))
             g0, g1, g2 = K.fuse_index_triple(hashes, seg_len, mask, seg_cnt_len)
             return (g0.astype(np.int32), g1.astype(np.int32), g2.astype(np.int32))
 
-        def peel(g0, g1, g2):
+        def peel(gs):
             # fail on any cell with 64+ keys: the reference's 6-bit packed
             # counter wraps there and aborts the attempt
             # (binaryfusefilter.h:374-377) — both tiers must mirror it so
             # the seed chains stay identical
             if nat is not None:
-                counts = np.bincount(g0, minlength=array_length)
-                counts += np.bincount(g1, minlength=array_length)
-                counts += np.bincount(g2, minlength=array_length)
+                counts = np.bincount(gs[0], minlength=array_length)
+                for g in gs[1:]:
+                    counts += np.bincount(g, minlength=array_length)
                 if int(counts.max()) >= 64:
                     return None, -1
-                order, ocell, peeled = nat.peel(array_length, g0, g1, g2)
+                order, ocell, peeled = nat.peel(array_length, *gs)
                 return (order, ocell), peeled
-            return _peel(array_length, g0, g1, g2, fail_if_count_ge=64)
+            return _peel(array_length, *gs, fail_if_count_ge=64)
 
         current = keys
         attempt = 0
@@ -439,6 +455,7 @@ class FuseFilter:
                 hashes, g0, g1, g2 = nat.fuse_prepare(
                     current, seed, seg_len, seg_cnt_len, seg_cnt,
                     array_length)
+                gs = (g0, g1, g2)
                 if nat.state_overflow(array_length):
                     rounds, peeled = None, -1  # counter-wrap abort (see peel)
                 else:
@@ -447,8 +464,8 @@ class FuseFilter:
                     rounds = (order, ocell)
             else:
                 hashes = K.mix_split(current, seed)
-                g0, g1, g2 = triple(hashes)
-                rounds, peeled = peel(g0, g1, g2)
+                gs = triple(hashes)
+                rounds, peeled = peel(gs)
             if peeled == hashes.size:
                 break
             # duplicate handling: duplicate keys (identical seeded hashes —
@@ -458,8 +475,8 @@ class FuseFilter:
             uniq = np.unique(hashes)
             if uniq.size < hashes.size:
                 hashes = uniq
-                g0, g1, g2 = triple(hashes)
-                rounds, peeled = peel(g0, g1, g2)
+                gs = triple(hashes)
+                rounds, peeled = peel(gs)
                 if peeled == hashes.size:
                     break
                 current = np.unique(current)  # dedup before next attempt (:430-432)
@@ -468,31 +485,32 @@ class FuseFilter:
         fp = np.zeros(array_length, dtype=dtype)
         if nat is not None:
             order, ocell = rounds
-            nat.assign(peeled, order, ocell, hashes, g0, g1, g2, fp)
+            nat.assign(peeled, order, ocell, hashes, *gs, fp)
         else:
             fp_source = K.fingerprint64(hashes).astype(dtype)
-            _assign_fingerprints(fp, rounds, fp_source, g0, g1, g2)
+            _assign_fingerprints(fp, rounds, fp_source, *gs)
         return cls(seed=seed, size=size, segment_length=seg_len,
                    segment_count=seg_cnt, segment_count_length=seg_cnt_len,
                    array_length=array_length, fingerprints=fp,
-                   fingerprint_bits=fingerprint_bits)
+                   fingerprint_bits=fingerprint_bits, arity=arity)
 
     def contain(self, keys) -> np.ndarray:
         """Vectorized probe (binaryfusefilter.h:178-187):
-        fingerprint ^ fp[h0] ^ fp[h1] ^ fp[h2] == 0."""
+        fingerprint ^ XOR_i fp[h_i] == 0 (3- or 4-wise per self.arity)."""
         keys = K.to_uint64(keys)
-        nat = native.get_kernel()
+        nat = native.get_kernel() if self.arity == 3 else None
         if nat is not None:
             return nat.fuse_contain(keys, self.seed, self.segment_length,
                                     self.segment_count_length,
                                     self.fingerprints)
         hashes = K.mix_split(keys, self.seed)
         f = K.fingerprint64(hashes).astype(self.fingerprints.dtype)
-        g0, g1, g2 = K.fuse_index_triple(
-            hashes, self.segment_length, self.segment_length_mask,
-            self.segment_count_length)
+        index = K.fuse_index_quad if self.arity == 4 else K.fuse_index_triple
+        gs = index(hashes, self.segment_length, self.segment_length_mask,
+                   self.segment_count_length)
         fp = self.fingerprints
-        f ^= fp[g0.astype(np.int64)] ^ fp[g1.astype(np.int64)] ^ fp[g2.astype(np.int64)]
+        for g in gs:
+            f ^= fp[g.astype(np.int64)]
         return f == 0
 
     def size_in_bytes(self) -> int:
@@ -511,7 +529,8 @@ class FuseFilter:
             self.fingerprints.astype(self.fingerprints.dtype.newbyteorder("<")).tobytes()
 
     @classmethod
-    def from_bytes(cls, buf: bytes, fingerprint_bits: int = 8) -> "FuseFilter":
+    def from_bytes(cls, buf: bytes, fingerprint_bits: int = 8,
+                   arity: int = 3) -> "FuseFilter":
         seed, size, seg_len, seg_cnt, seg_cnt_len, array_length = \
             struct.unpack_from("<QIIIII", buf, 0)
         dtype = np.dtype(cls._DTYPES[fingerprint_bits]).newbyteorder("<")
@@ -520,7 +539,7 @@ class FuseFilter:
                    segment_count=seg_cnt, segment_count_length=seg_cnt_len,
                    array_length=array_length,
                    fingerprints=np.ascontiguousarray(fp).astype(fp.dtype.newbyteorder("=")),
-                   fingerprint_bits=fingerprint_bits)
+                   fingerprint_bits=fingerprint_bits, arity=arity)
 
     def pack(self) -> bytes:
         """Sparse wire format (binaryfusefilter.h:902-940): Seed u64 |
@@ -532,12 +551,13 @@ class FuseFilter:
                     self.fingerprints.dtype.newbyteorder("<")).tobytes())
 
     @classmethod
-    def unpack(cls, buf: bytes, fingerprint_bits: int = 8) -> "FuseFilter":
+    def unpack(cls, buf: bytes, fingerprint_bits: int = 8,
+               arity: int = 3) -> "FuseFilter":
         """Rebuild from packed bytes; layout params recomputed from Size via
         the allocate formulas, exactly like the reference unpack
         (binaryfusefilter.h:942-967)."""
         seed, size = struct.unpack_from("<QI", buf, 0)
-        seg_len, seg_cnt, seg_cnt_len, array_length = fuse_layout(size)
+        seg_len, seg_cnt, seg_cnt_len, array_length = fuse_layout(size, arity)
         bsz = (array_length + 7) // 8
         bits = np.frombuffer(buf, dtype=np.uint8, count=bsz, offset=12)
         nz = np.unpackbits(bits, bitorder="little")[:array_length].astype(bool)
@@ -549,7 +569,7 @@ class FuseFilter:
         return cls(seed=seed, size=size, segment_length=seg_len,
                    segment_count=seg_cnt, segment_count_length=seg_cnt_len,
                    array_length=array_length, fingerprints=fp,
-                   fingerprint_bits=fingerprint_bits)
+                   fingerprint_bits=fingerprint_bits, arity=arity)
 
 
 def empty_filter(kind: str):

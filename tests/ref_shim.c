@@ -5,9 +5,11 @@
  * -I/root/reference/include; contains no reference code itself.
  *
  * usage:
- *   ref_shim <kind> build   <keys.bin> <filter.out>   # serialized filter
- *   ref_shim <kind> contain <filter.bin> <keys.bin>   # 1 byte per key
- *   ref_shim <kind> seed    <keys.bin>                # winning seed (hex)
+ *   ref_shim <kind> build    <keys.bin> <filter.out>  # serialized filter
+ *   ref_shim <kind> contain  <filter.bin> <keys.bin>  # 1 byte per key
+ *   ref_shim <kind> seed     <keys.bin>               # winning seed (hex)
+ *   ref_shim <kind> pack     <keys.bin> <packed.out>  # PACKED filter
+ *   ref_shim <kind> containp <packed.bin> <keys.bin>  # unpack + contain
  * kinds: xor8 xor16 fuse8 fuse16 ; keys.bin = little-endian u64 array.
  */
 #include <stdint.h>
@@ -54,7 +56,19 @@ static void write_all(const char *path, const void *buf, size_t n) {
             }                                                                \
             exit(0);                                                         \
         }                                                                    \
-        if (!strcmp(mode, "contain")) {                                      \
+        if (!strcmp(mode, "pack")) {                                         \
+            size_t n; uint64_t *keys = read_u64(argv[3], &n);                \
+            TYPE##_t f;                                                      \
+            if (!TYPE##_allocate((uint32_t)n, &f)) exit(3);                  \
+            if (!TYPE##_populate(keys, (uint32_t)n, &f)) exit(4);            \
+            size_t sz = TYPE##_pack_bytes(&f);                               \
+            char *out = malloc(sz);                                          \
+            size_t used = TYPE##_pack(&f, out, sz);                          \
+            if (!used) exit(6);                                              \
+            write_all(argv[4], out, used);                                   \
+            exit(0);                                                         \
+        }                                                                    \
+        if (!strcmp(mode, "contain") || !strcmp(mode, "containp")) {         \
             FILE *ff = fopen(argv[3], "rb");                                 \
             fseek(ff, 0, SEEK_END); long fsz = ftell(ff);                    \
             fseek(ff, 0, SEEK_SET);                                          \
@@ -62,7 +76,11 @@ static void write_all(const char *path, const void *buf, size_t n) {
             if (fread(fbuf, 1, fsz, ff) != (size_t)fsz) exit(2);             \
             fclose(ff);                                                      \
             TYPE##_t f;                                                      \
-            if (!TYPE##_deserialize(&f, fbuf)) exit(5);                      \
+            if (!strcmp(mode, "containp")) {                                 \
+                if (!TYPE##_unpack(&f, fbuf, (size_t)fsz)) exit(5);          \
+            } else {                                                         \
+                if (!TYPE##_deserialize(&f, fbuf)) exit(5);                  \
+            }                                                                \
             size_t n; uint64_t *keys = read_u64(argv[4], &n);                \
             unsigned char *out = malloc(n);                                  \
             for (size_t i = 0; i < n; i++)                                   \

@@ -118,6 +118,61 @@ def test_reference_bytes_probe_bitwise_in_ours(shim, kind, tmp_path):
     os.unlink(pf)
 
 
+_PACK_CLASSES = {"xor8": 8, "xor16": 16, "fuse8": 8, "fuse16": 16}
+
+
+def _unpack_ours(blob: bytes, kind: str):
+    from fastfilter_spark.operators.local import FuseFilter, XorFilter
+    cls = XorFilter if kind.startswith("xor") else FuseFilter
+    return cls.unpack(blob, _PACK_CLASSES[kind])
+
+
+@pytest.mark.parametrize("kind", KINDS)
+def test_our_packed_bytes_load_in_reference(shim, kind, tmp_path):
+    """Our pack() bytes must load via the reference's _unpack
+    (xorfilter.h:1414-1434, binaryfusefilter.h:942-967) and probe with
+    zero false negatives AND bit-for-bit agreement with our probe."""
+    keys = _keysets()["random"]
+    ours = build_filter(keys, kind)
+    fpath = str(tmp_path / "ours.packed")
+    with open(fpath, "wb") as f:
+        f.write(ours.pack())
+    kf = _tmp_u64(keys)
+    out = subprocess.run([shim, kind, "containp", fpath, kf],
+                         capture_output=True, check=True)
+    got = np.frombuffer(out.stdout, dtype=np.uint8)
+    assert got.size == keys.size and got.all(), \
+        f"reference unpack found false negatives in our packed {kind}"
+    probes = np.random.default_rng(17).integers(0, 1 << 63, 100_000,
+                                                dtype=np.uint64)
+    pf = _tmp_u64(probes)
+    out = subprocess.run([shim, kind, "containp", fpath, pf],
+                         capture_output=True, check=True)
+    ref_ans = np.frombuffer(out.stdout, dtype=np.uint8).astype(bool)
+    assert (ref_ans == ours.contain(probes)).all(), \
+        f"{kind}: packed probe divergence"
+    os.unlink(kf)
+    os.unlink(pf)
+
+
+@pytest.mark.parametrize("kind", KINDS)
+def test_reference_packed_bytes_load_in_ours(shim, kind, tmp_path):
+    """Reference _pack output loads in our unpack(); re-packing it must
+    reproduce the reference's packed bytes EXACTLY (byte-level format
+    parity both directions on the same fingerprint array)."""
+    keys = _keysets()["contiguous"]
+    kf = _tmp_u64(keys)
+    fpath = str(tmp_path / "ref.packed")
+    subprocess.run([shim, kind, "pack", kf, fpath], check=True,
+                   capture_output=True)
+    with open(fpath, "rb") as f:
+        blob = f.read()
+    ours = _unpack_ours(blob, kind)
+    assert ours.contain(keys).all()
+    assert ours.pack() == blob, f"{kind}: packed round-trip not byte-exact"
+    os.unlink(kf)
+
+
 @pytest.mark.parametrize("kind", KINDS)
 def test_serialized_length_matches_reference(shim, kind, tmp_path):
     keys = _keysets()["small"]

@@ -101,6 +101,45 @@ def test_embedding_near_dup_multi_table_recall(spark):
     assert r12 > r1, (r1, r12)
 
 
+@pytest.mark.parametrize("bits", [8, 16])
+def test_fuse_arity4_build(bits):
+    """VERDICT missing #2: arity-4 fuse build reachable via
+    FuseFilter.build(..., arity=4) — zero false negatives, fpp within
+    the 2^-bits bound, bits/entry tracking the reference's arity-4 size
+    factor (binaryfusefilter.h:196-198/214-216) and beating arity 3,
+    byte + packed round-trips intact."""
+    from fastfilter_spark.operators.local import FuseFilter, fuse_size_factor
+
+    n = 50_000
+    keys = (np.arange(n, dtype=np.uint64) * np.uint64(0x9E3779B97F4A7C15))
+    f4 = FuseFilter.build(keys, bits, arity=4)
+    assert f4.arity == 4
+    assert f4.contain(keys).all()
+
+    probes = np.random.default_rng(3).integers(1 << 40, 1 << 62, 200_000,
+                                               dtype=np.uint64)
+    assert f4.contain(probes).mean() <= (2.0 ** -bits) * 1.35
+
+    bpe = f4.fingerprints.nbytes * 8 / n
+    predicted = fuse_size_factor(4, n) * bits
+    assert abs(bpe - predicted) / predicted < 0.05
+    f3 = FuseFilter.build(keys, bits, arity=3)
+    assert bpe < f3.fingerprints.nbytes * 8 / n  # denser than 3-wise
+
+    rt = FuseFilter.from_bytes(f4.to_bytes(), bits, arity=4)
+    assert rt.arity == 4 and rt.contain(keys).all()
+    up = FuseFilter.unpack(f4.pack(), bits, arity=4)
+    assert up.contain(keys).all() and \
+        (up.fingerprints == f4.fingerprints).all()
+
+    # duplicate keys build successfully (allocation is by raw count, as
+    # in the reference; dedup happens inside the attempt loop) with zero
+    # false negatives
+    dup = np.concatenate([keys, keys[:5000]])
+    fd = FuseFilter.build(dup, bits, arity=4)
+    assert fd.contain(keys).all()
+
+
 def test_build_sharded_table_matches_materialized(spark, sf_dir):
     """Same bytes whether or not the driver materializes."""
     from fastfilter_spark.operators.dist import (
