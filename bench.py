@@ -145,6 +145,52 @@ def main() -> None:
                F.sum(F.col("l_quantity").cast("long")).alias("q")).collect())
 
     total = round(sum(timings.values()), 3)
+    spark.stop()
+
+    # -- two-parallelism scaling evidence (north_rule: N vs 4N executors)
+    # The sandbox has no real cluster, so the same job (sharded fuse8
+    # build + probe over identical url keys) runs at local[2], local[8]
+    # and local[32] in fresh JVMs via scripts/scaling_bench.py; the
+    # N->4N pair for the rule is 2->8 (compute-scaling regime).  8->32
+    # on this single-socket VM is DRAM-bandwidth-capped (32 concurrent
+    # peel kernels saturate memory; see BENCH.md) and reported honestly
+    # alongside.  Skippable with SPARK_GRAFT_SKIP_SCALING=1 for quick
+    # iteration.
+    scaling: dict = {}
+    if not os.environ.get("SPARK_GRAFT_SKIP_SCALING"):
+        import subprocess
+        script = os.path.join(_REPO, "scripts", "scaling_bench.py")
+        env = dict(os.environ, PYTHONPATH=_REPO,
+                   SCALING_N_KEYS=os.environ.get("SCALING_N_KEYS", "8000000"))
+        levels = {}
+        for c in (2, 8, 32):
+            out = subprocess.run(
+                [sys.executable, script, "--level", str(c)],
+                capture_output=True, text=True, env=env, cwd=_REPO)
+            lines = [ln for ln in out.stdout.splitlines()
+                     if ln.startswith("{")]
+            if lines:
+                levels[c] = json.loads(lines[-1])
+        if len(levels) == 3:
+            def eff(metric, lo, hi):
+                return round((levels[hi][metric] / levels[lo][metric])
+                             / (hi / lo), 3)
+            scaling = {
+                "job": "sharded fuse8 build+probe, "
+                       f"{levels[2]['n_keys']} url keys",
+                "local2_build_keys_per_sec": levels[2]["build_keys_per_sec"],
+                "local8_build_keys_per_sec": levels[8]["build_keys_per_sec"],
+                "local32_build_keys_per_sec": levels[32]["build_keys_per_sec"],
+                "local2_probe_keys_per_sec": levels[2]["probe_keys_per_sec"],
+                "local8_probe_keys_per_sec": levels[8]["probe_keys_per_sec"],
+                "local32_probe_keys_per_sec": levels[32]["probe_keys_per_sec"],
+                "build_efficiency_2_to_8": eff("build_keys_per_sec", 2, 8),
+                "probe_efficiency_2_to_8": eff("probe_keys_per_sec", 2, 8),
+                "build_efficiency_8_to_32": eff("build_keys_per_sec", 8, 32),
+                "probe_efficiency_8_to_32": eff("probe_keys_per_sec", 8, 32),
+                "north_rule_pair": "local[2] -> local[8] (N -> 4N)",
+            }
+
     print(json.dumps({
         "metric": "fuse8 construction+probe over url keys (headline) "
                   "+ operator suite wall time",
@@ -155,8 +201,8 @@ def main() -> None:
         "throughput": throughput,
         "parallelism": cpus,
         "n_url_keys": n_keys,
+        "scaling": scaling,
     }))
-    spark.stop()
 
 
 if __name__ == "__main__":

@@ -178,21 +178,51 @@ class _Kernel:
         state = self._buf("state", n_cells, np.int64)
         return bool(int(state.max()) >> 32 >= limit)
 
-    def peel_pre(self, n_cells: int, g0, g1, g2):
+    # Builds at least this large use the emit-cells peel + sequential
+    # assign (ffkernel.c:ff_peel_pre doc): below it, every per-attempt
+    # array is L2/L3-resident and the extra ~20 B/row of emitted stores
+    # is pure added memory traffic — measurably slower when 32 shard
+    # kernels run concurrently against shared DRAM bandwidth.  Above it,
+    # the g/mixed arrays outrun cache and moving the gathers into the
+    # peel loop is ~+8% single-core (measured at 5M keys).
+    EMIT_MIN_N = 1 << 20
+
+    def _peel_bufs(self, n: int, n_cells: int, emit: bool):
+        one = 1 if not emit else n
+        return (self._buf("order", n, np.int32),
+                self._buf("ocell", n, np.int32),
+                self._buf("oc0", one, np.int32),
+                self._buf("oc1", one, np.int32),
+                self._buf("oc2", one, np.int32),
+                self._buf("ohash", one, np.uint64),
+                self._buf("queue", n_cells, np.int32))
+
+    def peel_pre(self, n_cells: int, mixed, g0, g1, g2):
         """Peel using the state filled by :meth:`fuse_prepare` (the
-        state pool buffer is shared between the two calls)."""
+        state pool buffer is shared between the two calls).  Returns
+        (peel_out, n_peeled); feed peel_out straight to :meth:`assign`.
+        peel_out is a tagged tuple — for large builds it carries each
+        peeled row's cells + hash (sequential assign), for small ones
+        just the peel order (lean assign over the g arrays)."""
         n = g0.size
+        emit = n >= self.EMIT_MIN_N
         state = self._buf("state", n_cells, np.int64)
-        order = self._buf("order", n, np.int32)
-        ocell = self._buf("ocell", n, np.int32)
-        queue = self._buf("queue", n_cells, np.int32)
+        order, ocell, oc0, oc1, oc2, ohash, queue = \
+            self._peel_bufs(n, n_cells, emit)
         np_peeled = self.lib.ff_peel_pre(
             ctypes.c_int64(n), ctypes.c_int64(n_cells),
+            _ptr(mixed, _c_u64p),
             _ptr(g0, _c_i32p), _ptr(g1, _c_i32p), _ptr(g2, _c_i32p),
             _ptr(state, ctypes.POINTER(ctypes.c_int64)),
+            ctypes.c_int32(1 if emit else 0),
             _ptr(order, _c_i32p), _ptr(ocell, _c_i32p),
-            _ptr(queue, _c_i32p))
-        return order, ocell, int(np_peeled)
+            _ptr(oc0, _c_i32p), _ptr(oc1, _c_i32p), _ptr(oc2, _c_i32p),
+            _ptr(ohash, _c_u64p), _ptr(queue, _c_i32p))
+        if emit:
+            po = ("cells", ocell, oc0, oc1, oc2, ohash)
+        else:
+            po = ("order", order, ocell, mixed, g0, g1, g2)
+        return po, int(np_peeled)
 
     def fuse_index_pre(self, mixed: np.ndarray, seg_len: int,
                        seg_cnt_len: int):
@@ -257,31 +287,47 @@ class _Kernel:
 
     # ---- peel + assign ----
 
-    def peel(self, n_cells: int, g0: np.ndarray, g1: np.ndarray,
+    def peel(self, n_cells: int, mixed, g0: np.ndarray, g1: np.ndarray,
              g2: np.ndarray):
-        """Returns (order, ocell, n_peeled)."""
+        """Returns (peel_out, n_peeled) — see :meth:`peel_pre`."""
         n = g0.size
+        emit = n >= self.EMIT_MIN_N
         state = self._buf("state", n_cells, np.int64)
-        order = self._buf("order", n, np.int32)
-        ocell = self._buf("ocell", n, np.int32)
-        queue = self._buf("queue", n_cells, np.int32)
+        order, ocell, oc0, oc1, oc2, ohash, queue = \
+            self._peel_bufs(n, n_cells, emit)
         np_peeled = self.lib.ff_peel(
             ctypes.c_int64(n), ctypes.c_int64(n_cells),
+            _ptr(mixed, _c_u64p),
             _ptr(g0, _c_i32p), _ptr(g1, _c_i32p), _ptr(g2, _c_i32p),
             _ptr(state, ctypes.POINTER(ctypes.c_int64)),
+            ctypes.c_int32(1 if emit else 0),
             _ptr(order, _c_i32p), _ptr(ocell, _c_i32p),
-            _ptr(queue, _c_i32p))
-        return order, ocell, int(np_peeled)
+            _ptr(oc0, _c_i32p), _ptr(oc1, _c_i32p), _ptr(oc2, _c_i32p),
+            _ptr(ohash, _c_u64p), _ptr(queue, _c_i32p))
+        if emit:
+            po = ("cells", ocell, oc0, oc1, oc2, ohash)
+        else:
+            po = ("order", order, ocell, mixed, g0, g1, g2)
+        return po, int(np_peeled)
 
-    def assign(self, n_peeled: int, order, ocell, mixed, g0, g1, g2,
-               fp: np.ndarray):
-        fn = {1: self.lib.ff_assign8, 2: self.lib.ff_assign16,
-              4: self.lib.ff_assign32}[fp.itemsize]
+    def assign(self, n_peeled: int, peel_out, fp: np.ndarray):
+        """Reverse-order fingerprint assignment over peel() output."""
         fptr = {1: _c_u8p, 2: _c_u16p, 4: _c_u32p}[fp.itemsize]
-        fn(ctypes.c_int64(n_peeled), _ptr(order, _c_i32p),
-           _ptr(ocell, _c_i32p), _ptr(mixed, _c_u64p),
-           _ptr(g0, _c_i32p), _ptr(g1, _c_i32p), _ptr(g2, _c_i32p),
-           _ptr(fp, fptr))
+        if peel_out[0] == "cells":
+            _, ocell, oc0, oc1, oc2, ohash = peel_out
+            fn = {1: self.lib.ff_assign8, 2: self.lib.ff_assign16,
+                  4: self.lib.ff_assign32}[fp.itemsize]
+            fn(ctypes.c_int64(n_peeled), _ptr(ocell, _c_i32p),
+               _ptr(oc0, _c_i32p), _ptr(oc1, _c_i32p), _ptr(oc2, _c_i32p),
+               _ptr(ohash, _c_u64p), _ptr(fp, fptr))
+        else:
+            _, order, ocell, mixed, g0, g1, g2 = peel_out
+            fn = {1: self.lib.ff_assign8_g, 2: self.lib.ff_assign16_g,
+                  4: self.lib.ff_assign32_g}[fp.itemsize]
+            fn(ctypes.c_int64(n_peeled), _ptr(order, _c_i32p),
+               _ptr(ocell, _c_i32p), _ptr(mixed, _c_u64p),
+               _ptr(g0, _c_i32p), _ptr(g1, _c_i32p), _ptr(g2, _c_i32p),
+               _ptr(fp, fptr))
 
     # ---- probes ----
 

@@ -201,32 +201,58 @@ void ff_xor_prepare(const uint64_t *keys, int64_t n, uint64_t seed,
     }
 }
 
-/* Peel over pre-accumulated state (from ff_fuse_prepare). */
-int64_t ff_peel_pre(int64_t n, int64_t m,
+/* Peel over pre-accumulated state (from ff_fuse_prepare).
+ *
+ * With emit != 0, besides the peel order (order/ocell) it emits per
+ * peeled row its THREE cell indices (oc0/oc1/oc2 — already in registers
+ * here) and its mixed hash (ohash).  That makes the reverse-order
+ * assignment pass fully sequential except for the fingerprint array
+ * itself (8-32x smaller than the g/mixed arrays): the random
+ * g0/g1/g2[row] + mixed[row] gathers move from assign — where they
+ * were pure extra traffic — into the peel loop that already loads
+ * those lines.  This wins for LARGE single builds (arrays far beyond
+ * cache: +8% single-core at 5M keys) but the extra ~20 B/row of
+ * stores is pure added DRAM traffic for the small per-shard builds of
+ * the distributed path, where 32 concurrent kernels are bandwidth-
+ * bound and all arrays are cache-resident anyway — so emit is chosen
+ * per build size (functions/native.py), and emit == 0 keeps the lean
+ * path with the g-array-walking assignment (ff_assign*_g). */
+#define PEEL_LOOP(EMIT)                                                  \
+    while (qhead < qtail) {                                              \
+        int32_t cell = queue[qhead++];                                   \
+        int64_t st = state[cell];                                        \
+        if ((st >> 32) != 1) continue;                                   \
+        int32_t row = (int32_t)(uint32_t)st;                             \
+        int32_t cs[3] = { g0[row], g1[row], g2[row] };                   \
+        order[np] = row;                                                 \
+        ocell[np] = cell;                                                \
+        if (EMIT) {                                                      \
+            oc0[np] = cs[0];                                             \
+            oc1[np] = cs[1];                                             \
+            oc2[np] = cs[2];                                             \
+            ohash[np] = mixed[row];                                      \
+        }                                                                \
+        np++;                                                            \
+        for (int k = 0; k < 3; k++) {                                    \
+            int32_t c2 = cs[k];                                          \
+            int64_t s2 = (state[c2] - ONE) ^ (uint32_t)row;              \
+            state[c2] = s2;                                              \
+            if ((s2 >> 32) == 1) queue[qtail++] = c2;                    \
+        }                                                                \
+    }
+
+int64_t ff_peel_pre(int64_t n, int64_t m, const uint64_t *mixed,
                     const int32_t *g0, const int32_t *g1, const int32_t *g2,
-                    int64_t *state,
-                    int32_t *order, int32_t *ocell, int32_t *queue) {
+                    int64_t *state, int32_t emit,
+                    int32_t *order, int32_t *ocell,
+                    int32_t *oc0, int32_t *oc1, int32_t *oc2,
+                    uint64_t *ohash, int32_t *queue) {
     const int64_t ONE = (int64_t)1 << 32;
     int64_t qhead = 0, qtail = 0;
     for (int64_t c = 0; c < m; c++)
         if ((state[c] >> 32) == 1) queue[qtail++] = (int32_t)c;
     int64_t np = 0;
-    while (qhead < qtail) {
-        int32_t cell = queue[qhead++];
-        int64_t st = state[cell];
-        if ((st >> 32) != 1) continue;
-        int32_t row = (int32_t)(uint32_t)st;
-        order[np] = row;
-        ocell[np] = cell;
-        np++;
-        int32_t cs[3] = { g0[row], g1[row], g2[row] };
-        for (int k = 0; k < 3; k++) {
-            int32_t c2 = cs[k];
-            int64_t s2 = (state[c2] - ONE) ^ (uint32_t)row;
-            state[c2] = s2;
-            if ((s2 >> 32) == 1) queue[qtail++] = c2;
-        }
-    }
+    if (emit) { PEEL_LOOP(1) } else { PEEL_LOOP(0) }
     return np;
 }
 
@@ -266,10 +292,13 @@ void ff_xor_index_pre(const uint64_t *mixed, int64_t n, uint32_t block_length,
  * number peeled (== n on success).  order/ocell must hold n entries;
  * scratch int32 arrays counts/rowxor must hold m entries (zeroed here).
  */
-int64_t ff_peel(int64_t n, int64_t m,
+int64_t ff_peel(int64_t n, int64_t m, const uint64_t *mixed,
                 const int32_t *g0, const int32_t *g1, const int32_t *g2,
                 int64_t *state,  /* m entries: count<<32 | rowxor */
-                int32_t *order, int32_t *ocell, int32_t *queue) {
+                int32_t emit,
+                int32_t *order, int32_t *ocell,
+                int32_t *oc0, int32_t *oc1, int32_t *oc2,
+                uint64_t *ohash, int32_t *queue) {
     const int64_t ONE = (int64_t)1 << 32;
     memset(state, 0, (size_t)m * sizeof(int64_t));
     for (int64_t i = 0; i < n; i++) {
@@ -281,28 +310,15 @@ int64_t ff_peel(int64_t n, int64_t m,
     for (int64_t c = 0; c < m; c++)
         if ((state[c] >> 32) == 1) queue[qtail++] = (int32_t)c;
     int64_t np = 0;
-    while (qhead < qtail) {
-        int32_t cell = queue[qhead++];
-        int64_t st = state[cell];
-        if ((st >> 32) != 1) continue;
-        int32_t row = (int32_t)(uint32_t)st;
-        order[np] = row;
-        ocell[np] = cell;
-        np++;
-        int32_t cs[3] = { g0[row], g1[row], g2[row] };
-        for (int k = 0; k < 3; k++) {
-            int32_t c2 = cs[k];
-            int64_t s2 = (state[c2] - ONE) ^ (uint32_t)row;
-            state[c2] = s2;
-            if ((s2 >> 32) == 1) queue[qtail++] = c2;
-        }
-    }
+    if (emit) { PEEL_LOOP(1) } else { PEEL_LOOP(0) }
     return np;
 }
 
 /* ---- fingerprint assignment (reverse peel order) ---------------------- */
 
-#define ASSIGN_IMPL(NAME, T)                                             \
+/* Lean variant for cache-resident builds (emit == 0 path): walks the
+ * g arrays / mixed directly, as the peel loop did. */
+#define ASSIGN_G_IMPL(NAME, T)                                           \
 void NAME(int64_t np, const int32_t *order, const int32_t *ocell,        \
           const uint64_t *mixed,                                         \
           const int32_t *g0, const int32_t *g1, const int32_t *g2,       \
@@ -312,6 +328,26 @@ void NAME(int64_t np, const int32_t *order, const int32_t *ocell,        \
         uint64_t h = mixed[row];                                         \
         T v = (T)(h ^ (h >> 32));                                        \
         v ^= fp[g0[row]] ^ fp[g1[row]] ^ fp[g2[row]];                    \
+        fp[ocell[i]] = v;                                                \
+    }                                                                    \
+}
+
+ASSIGN_G_IMPL(ff_assign8_g, uint8_t)
+ASSIGN_G_IMPL(ff_assign16_g, uint16_t)
+ASSIGN_G_IMPL(ff_assign32_g, uint32_t)
+
+/* Sequential reverse pass over the peel-order arrays: every input
+ * stream (ocell/oc0/oc1/oc2/ohash) is read in order; the only random
+ * access is into fp itself, which is the smallest array in the build.
+ * (fp[oc*] includes fp[ocell[i]], still 0 when read — harmless.) */
+#define ASSIGN_IMPL(NAME, T)                                             \
+void NAME(int64_t np, const int32_t *ocell,                              \
+          const int32_t *oc0, const int32_t *oc1, const int32_t *oc2,    \
+          const uint64_t *ohash, T *fp) {                                \
+    for (int64_t i = np - 1; i >= 0; i--) {                              \
+        uint64_t h = ohash[i];                                           \
+        T v = (T)(h ^ (h >> 32));                                        \
+        v ^= fp[oc0[i]] ^ fp[oc1[i]] ^ fp[oc2[i]];                       \
         fp[ocell[i]] = v;                                                \
     }                                                                    \
 }

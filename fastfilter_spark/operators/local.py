@@ -274,7 +274,8 @@ class XorFilter:
             if nat is not None:
                 hashes, g0, g1, g2 = nat.xor_prepare(keys, seed, bl,
                                                      array_length)
-                order, ocell, peeled = nat.peel_pre(array_length, g0, g1, g2)
+                peel_out, peeled = nat.peel_pre(array_length, hashes,
+                                                g0, g1, g2)
             else:
                 hashes = K.mix_split(keys, seed)
                 g0, g1, g2 = triple(hashes)
@@ -285,7 +286,7 @@ class XorFilter:
 
         fp = np.zeros(array_length, dtype=dtype)
         if nat is not None:
-            nat.assign(peeled, order, ocell, hashes, g0, g1, g2, fp)
+            nat.assign(peeled, peel_out, fp)
         else:
             fp_source = K.fingerprint64(hashes).astype(dtype)
             _assign_fingerprints(fp, rounds, fp_source, g0, g1, g2)
@@ -428,7 +429,7 @@ class FuseFilter:
             g0, g1, g2 = K.fuse_index_triple(hashes, seg_len, mask, seg_cnt_len)
             return (g0.astype(np.int32), g1.astype(np.int32), g2.astype(np.int32))
 
-        def peel(gs):
+        def peel(hashes, gs):
             # fail on any cell with 64+ keys: the reference's 6-bit packed
             # counter wraps there and aborts the attempt
             # (binaryfusefilter.h:374-377) — both tiers must mirror it so
@@ -439,8 +440,7 @@ class FuseFilter:
                     counts += np.bincount(g, minlength=array_length)
                 if int(counts.max()) >= 64:
                     return None, -1
-                order, ocell, peeled = nat.peel(array_length, *gs)
-                return (order, ocell), peeled
+                return nat.peel(array_length, hashes, *gs)
             return _peel(array_length, *gs, fail_if_count_ge=64)
 
         current = keys
@@ -459,13 +459,12 @@ class FuseFilter:
                 if nat.state_overflow(array_length):
                     rounds, peeled = None, -1  # counter-wrap abort (see peel)
                 else:
-                    order, ocell, peeled = nat.peel_pre(array_length,
-                                                        g0, g1, g2)
-                    rounds = (order, ocell)
+                    rounds, peeled = nat.peel_pre(array_length, hashes,
+                                                  g0, g1, g2)
             else:
                 hashes = K.mix_split(current, seed)
                 gs = triple(hashes)
-                rounds, peeled = peel(gs)
+                rounds, peeled = peel(hashes, gs)
             if peeled == hashes.size:
                 break
             # duplicate handling: duplicate keys (identical seeded hashes —
@@ -476,7 +475,7 @@ class FuseFilter:
             if uniq.size < hashes.size:
                 hashes = uniq
                 gs = triple(hashes)
-                rounds, peeled = peel(gs)
+                rounds, peeled = peel(hashes, gs)
                 if peeled == hashes.size:
                     break
                 current = np.unique(current)  # dedup before next attempt (:430-432)
@@ -484,8 +483,7 @@ class FuseFilter:
 
         fp = np.zeros(array_length, dtype=dtype)
         if nat is not None:
-            order, ocell = rounds
-            nat.assign(peeled, order, ocell, hashes, *gs, fp)
+            nat.assign(peeled, rounds, fp)
         else:
             fp_source = K.fingerprint64(hashes).astype(dtype)
             _assign_fingerprints(fp, rounds, fp_source, *gs)
