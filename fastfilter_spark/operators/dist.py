@@ -228,7 +228,8 @@ class ShardedFilter:
     # -- probing ----------------------------------------------------------
 
     def _filters(self):
-        return [filter_from_bytes(p, self.kind) for p in self.payloads]
+        return [filter_from_bytes(p, self.kind, view=True)
+                for p in self.payloads]
 
     def contain_np(self, keys) -> np.ndarray:
         """Driver-side vectorized probe (for tests / small batches)."""
@@ -265,7 +266,8 @@ class ShardedFilter:
         def contains(s: pd.Series) -> pd.Series:
             filters = _worker_filter_cache.get(cache_key)
             if filters is None:
-                filters = [filter_from_bytes(p, kind) for p in get_payloads()]
+                filters = [filter_from_bytes(p, kind, view=True)
+                           for p in get_payloads()]
                 _worker_cache_put(cache_key, filters)
             keys = K.to_uint64(s.to_numpy())
             out = np.zeros(keys.size, dtype=bool)
@@ -306,7 +308,8 @@ class ShardedFilter:
         def probe_batches(batches):
             filters = _worker_filter_cache.get(cache_key)
             if filters is None:
-                filters = [filter_from_bytes(p, kind) for p in get_payloads()]
+                filters = [filter_from_bytes(p, kind, view=True)
+                           for p in get_payloads()]
                 _worker_cache_put(cache_key, filters)
             for batch in batches:
                 keys = K.to_uint64(
@@ -520,7 +523,7 @@ def probe_via_join(probes: DataFrame, key_col: str,
                 "appending to one checkpoint_dir?); deduplicate the table "
                 "(latest-wins) before probing")
         f = filter_from_bytes(bytes(filt_pdf["payload"].iloc[0]),
-                              filt_pdf["kind"].iloc[0])
+                              filt_pdf["kind"].iloc[0], view=True)
         return pd.DataFrame({"key": keys.view(np.int64),
                              "member": f.contain(keys)})
 

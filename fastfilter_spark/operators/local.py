@@ -47,6 +47,7 @@ from __future__ import annotations
 
 import math
 import struct
+import sys
 from dataclasses import dataclass
 
 import numpy as np
@@ -322,12 +323,22 @@ class XorFilter:
             self.fingerprints.astype(self.fingerprints.dtype.newbyteorder("<")).tobytes()
 
     @classmethod
-    def from_bytes(cls, buf: bytes, fingerprint_bits: int = 8) -> "XorFilter":
+    def from_bytes(cls, buf: bytes, fingerprint_bits: int = 8,
+                   view: bool = False) -> "XorFilter":
+        """``view=True`` keeps a ZERO-COPY read-only view over the
+        caller-owned buffer (bytes / memoryview / mmap) — the analog of
+        the reference's caller-owned ``deserialize_header``
+        (binaryfusefilter.h:813-880).  Probing only reads, so a view
+        filter is fully functional while the buffer stays the single
+        copy in memory (broadcast blobs, mmap'd filter files).
+        Little-endian hosts only (the wire format is LE); big-endian
+        hosts fall back to the copying path."""
         seed, block_length = struct.unpack_from("<QQ", buf, 0)
         dtype = np.dtype(np.uint8 if fingerprint_bits == 8 else np.uint16).newbyteorder("<")
         fp = np.frombuffer(buf, dtype=dtype, count=3 * block_length, offset=16)
-        return cls(seed=seed, block_length=block_length,
-                   fingerprints=np.ascontiguousarray(fp).astype(fp.dtype.newbyteorder("=")),
+        if not (view and sys.byteorder == "little"):
+            fp = np.ascontiguousarray(fp).astype(fp.dtype.newbyteorder("="))
+        return cls(seed=seed, block_length=block_length, fingerprints=fp,
                    fingerprint_bits=fingerprint_bits)
 
     def pack(self) -> bytes:
@@ -528,15 +539,18 @@ class FuseFilter:
 
     @classmethod
     def from_bytes(cls, buf: bytes, fingerprint_bits: int = 8,
-                   arity: int = 3) -> "FuseFilter":
+                   arity: int = 3, view: bool = False) -> "FuseFilter":
+        """``view=True``: zero-copy read-only view over the caller-owned
+        buffer (see XorFilter.from_bytes; binaryfusefilter.h:813-880)."""
         seed, size, seg_len, seg_cnt, seg_cnt_len, array_length = \
             struct.unpack_from("<QIIIII", buf, 0)
         dtype = np.dtype(cls._DTYPES[fingerprint_bits]).newbyteorder("<")
         fp = np.frombuffer(buf, dtype=dtype, count=array_length, offset=28)
+        if not (view and sys.byteorder == "little"):
+            fp = np.ascontiguousarray(fp).astype(fp.dtype.newbyteorder("="))
         return cls(seed=seed, size=size, segment_length=seg_len,
                    segment_count=seg_cnt, segment_count_length=seg_cnt_len,
-                   array_length=array_length,
-                   fingerprints=np.ascontiguousarray(fp).astype(fp.dtype.newbyteorder("=")),
+                   array_length=array_length, fingerprints=fp,
                    fingerprint_bits=fingerprint_bits, arity=arity)
 
     def pack(self) -> bytes:
@@ -603,15 +617,18 @@ def build_filter(keys, kind: str):
     raise ValueError(f"unknown filter kind: {kind}")
 
 
-def filter_from_bytes(buf: bytes, kind: str):
+def filter_from_bytes(buf: bytes, kind: str, view: bool = False):
+    """``view=True``: zero-copy deserialization (see
+    XorFilter.from_bytes) — the probe paths use it so broadcast payload
+    bytes stay the only copy per worker."""
     if kind == "xor8":
-        return XorFilter.from_bytes(buf, 8)
+        return XorFilter.from_bytes(buf, 8, view=view)
     if kind == "xor16":
-        return XorFilter.from_bytes(buf, 16)
+        return XorFilter.from_bytes(buf, 16, view=view)
     if kind == "fuse8":
-        return FuseFilter.from_bytes(buf, 8)
+        return FuseFilter.from_bytes(buf, 8, view=view)
     if kind == "fuse16":
-        return FuseFilter.from_bytes(buf, 16)
+        return FuseFilter.from_bytes(buf, 16, view=view)
     if kind == "fuse32":
-        return FuseFilter.from_bytes(buf, 32)
+        return FuseFilter.from_bytes(buf, 32, view=view)
     raise ValueError(f"unknown filter kind: {kind}")

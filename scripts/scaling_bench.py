@@ -176,7 +176,10 @@ Caveats for reading these against the >=0.8 target:
   probes/s, and the 32-core probe pass exceeds the reference's
   single-thread query throughput by ~5x end-to-end.
 """
-    with open(os.path.join(repo, "BENCH.md"), "w") as f:
+    # BENCH.md is the curated round document (incl. kernel-only scaling
+    # and the same-machine reference head-to-head); raw full runs land in
+    # BENCH_SCALING.md so they never clobber it
+    with open(os.path.join(repo, "BENCH_SCALING.md"), "w") as f:
         f.write(md)
     print(md)
 

