@@ -304,15 +304,20 @@ def _quantile_rank_query(kind: str):
         qs = [0.1, 0.5, 0.9]
         fn = kll_quantiles if kind == "kll" else tdigest_quantiles
         vals = fn(li, "l_extendedprice", qs)
-        n = li.where(F.col("l_extendedprice").isNotNull()).count()
-        eps = 0.03
-        rows = []
-        for q, v in zip(qs, vals):
-            lo = li.where(F.col("l_extendedprice") < float(v)).count() / n
-            hi = li.where(F.col("l_extendedprice") <= float(v)).count() / n
-            # true rank of v lies in [lo, hi]; bound holds if that
-            # interval intersects [q-eps, q+eps]
-            ok = int(lo <= q + eps and hi >= q - eps)
+        # all six rank bounds + n in ONE scan (conditional-sum aggregate),
+        # not 7 separate count() jobs
+        col = F.col("l_extendedprice")
+        aggs = [F.count(col).alias("n")]
+        for i, v in enumerate(vals):
+            aggs.append(F.sum((col < float(v)).cast("long")).alias(f"lo{i}"))
+            aggs.append(F.sum((col <= float(v)).cast("long")).alias(f"hi{i}"))
+        r = li.agg(*aggs).first()
+        n, eps, rows = r["n"], 0.03, []
+        for i, q in enumerate(qs):
+            # true rank of the estimate lies in [lo, hi]; bound holds if
+            # that interval intersects [q-eps, q+eps]
+            ok = int(r[f"lo{i}"] / n <= q + eps and
+                     r[f"hi{i}"] / n >= q - eps)
             rows.append((int(round(q * 100)), n, ok))
         return spark.createDataFrame(
             rows, "q_pct int, n_vals long, within_bound int")

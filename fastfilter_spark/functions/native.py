@@ -188,13 +188,16 @@ class _Kernel:
     EMIT_MIN_N = 1 << 20
 
     def _peel_bufs(self, n: int, n_cells: int, emit: bool):
-        one = 1 if not emit else n
-        return (self._buf("order", n, np.int32),
+        # only the arrays the chosen assign variant reads get real
+        # capacity; the others stay 1-element dummies for the C ABI
+        full = n if emit else 1
+        lean = 1 if emit else n
+        return (self._buf("order", lean, np.int32),
                 self._buf("ocell", n, np.int32),
-                self._buf("oc0", one, np.int32),
-                self._buf("oc1", one, np.int32),
-                self._buf("oc2", one, np.int32),
-                self._buf("ohash", one, np.uint64),
+                self._buf("oc0", full, np.int32),
+                self._buf("oc1", full, np.int32),
+                self._buf("oc2", full, np.int32),
+                self._buf("ohash", full, np.uint64),
                 self._buf("queue", n_cells, np.int32))
 
     def peel_pre(self, n_cells: int, mixed, g0, g1, g2):

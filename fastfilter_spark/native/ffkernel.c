@@ -224,13 +224,16 @@ void ff_xor_prepare(const uint64_t *keys, int64_t n, uint64_t seed,
         if ((st >> 32) != 1) continue;                                   \
         int32_t row = (int32_t)(uint32_t)st;                             \
         int32_t cs[3] = { g0[row], g1[row], g2[row] };                   \
-        order[np] = row;                                                 \
         ocell[np] = cell;                                                \
         if (EMIT) {                                                      \
+            /* the cells-variant assign never reads `order` — skip the  \
+             * dead 4 B/row store on the traffic-tuned path */          \
             oc0[np] = cs[0];                                             \
             oc1[np] = cs[1];                                             \
             oc2[np] = cs[2];                                             \
             ohash[np] = mixed[row];                                      \
+        } else {                                                         \
+            order[np] = row;                                             \
         }                                                                \
         np++;                                                            \
         for (int k = 0; k < 3; k++) {                                    \

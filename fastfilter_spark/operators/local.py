@@ -85,7 +85,11 @@ def fuse_segment_length(arity: int, size: int) -> int:
     if arity == 3:
         return 1 << int(math.floor(math.log(size) / math.log(3.33) + 2.25))
     if arity == 4:
-        return 1 << int(math.floor(math.log(size) / math.log(2.91) - 0.5))
+        # the reference's dead-code formula goes negative for size < 5
+        # (1 << -1 raises); clamp the exponent at 0 like the size==0
+        # special case clamps the length
+        return 1 << max(0, int(math.floor(
+            math.log(size) / math.log(2.91) - 0.5)))
     return 65536
 
 
@@ -539,11 +543,32 @@ class FuseFilter:
 
     @classmethod
     def from_bytes(cls, buf: bytes, fingerprint_bits: int = 8,
-                   arity: int = 3, view: bool = False) -> "FuseFilter":
+                   arity: int | None = None,
+                   view: bool = False) -> "FuseFilter":
         """``view=True``: zero-copy read-only view over the caller-owned
-        buffer (see XorFilter.from_bytes; binaryfusefilter.h:813-880)."""
+        buffer (see XorFilter.from_bytes; binaryfusefilter.h:813-880).
+
+        The wire header (reference layout) does not carry arity, so it
+        is INFERRED: the stored layout fields must equal
+        ``fuse_layout(size, a)`` for exactly one arity (the 3- and
+        4-wise sizing formulas never coincide for a given size).  A
+        blindly-assumed wrong arity would mis-index every probe —
+        near-total silent false negatives — hence passing ``arity``
+        explicitly only validates against the inference."""
         seed, size, seg_len, seg_cnt, seg_cnt_len, array_length = \
             struct.unpack_from("<QIIIII", buf, 0)
+        stored = (seg_len, seg_cnt, seg_cnt_len, array_length)
+        inferred = [a for a in (3, 4) if fuse_layout(size, a) == stored]
+        if not inferred:
+            raise ValueError(
+                f"fuse wire header layout {stored} matches neither the "
+                f"3- nor 4-wise allocation formulas for size={size}; "
+                "corrupt or foreign bytes")
+        if arity is not None and arity not in inferred:
+            raise ValueError(
+                f"arity={arity} contradicts the wire header (layout is "
+                f"{inferred[0]}-wise for size={size})")
+        arity = arity if arity is not None else inferred[0]
         dtype = np.dtype(cls._DTYPES[fingerprint_bits]).newbyteorder("<")
         fp = np.frombuffer(buf, dtype=dtype, count=array_length, offset=28)
         if not (view and sys.byteorder == "little"):
@@ -574,6 +599,16 @@ class FuseFilter:
         bits = np.frombuffer(buf, dtype=np.uint8, count=bsz, offset=12)
         nz = np.unpackbits(bits, bitorder="little")[:array_length].astype(bool)
         dtype = np.dtype(cls._DTYPES[fingerprint_bits])
+        expected = 12 + bsz + int(nz.sum()) * dtype.itemsize
+        if len(buf) != expected:
+            # the packed header carries only (seed, size); a wrong arity
+            # assumption changes array_length and hence the bitset span,
+            # which (absent astronomical coincidence) breaks this exact
+            # length identity — fail loudly instead of mis-probing
+            raise ValueError(
+                f"packed fuse buffer is {len(buf)} bytes but the "
+                f"{arity}-wise layout for size={size} implies {expected}; "
+                "wrong arity= argument or corrupt bytes")
         vals = np.frombuffer(buf, dtype=dtype.newbyteorder("<"),
                              count=int(nz.sum()), offset=12 + bsz)
         fp = np.zeros(array_length, dtype=dtype)

@@ -134,20 +134,33 @@ def tdigest_quantiles(df: DataFrame, col: str, qs: list[float],
     return [sk.quantile(q) for q in qs]
 
 
-def bloom_contains_udf(bloom: Bloom, spark=None):
-    """Scalar pandas UDF ``long -> boolean`` probing a broadcast Bloom.
+def bloom_contains_udf(bloom: Bloom, spark=None,
+                       hashed_input: bool | None = None):
+    """Probe column builder mirroring the build-side key prep of
+    ``bloom_sketch``: returns a callable ``Column -> Column``.
 
-    The distributed probe twin of ``ShardedFilter.contains_udf``: wire
-    bytes are broadcast once (torrent distribution), deserialized at most
-    once per python worker (bounded cache shared with the filter probes),
-    and each Arrow batch probes vectorized — no driver-side ``collect``
-    of the probe keys, so ``df.where(bloom_contains_udf(b, spark)(col))``
-    scales with executor count, not driver memory.
+    The build path feeds the Bloom either raw ``cast("long")`` keys or
+    JVM ``xxhash64(col)`` values (string/binary columns); a probe that
+    does not apply the SAME transform silently returns ~100% false
+    negatives (or crashes on strings).  ``bloom_sketch`` records its
+    choice on the returned sketch; this reads it (override with
+    ``hashed_input`` for hand-built Blooms) and applies the matching
+    JVM-side prep before the pandas-UDF probe — so the hashing stays in
+    whole-stage codegen and the UDF always receives longs.  Probe the
+    same column TYPE as the build: Spark's xxhash64 of a long and of
+    its string form differ.
+
+    Wire bytes are broadcast once, deserialized at most once per python
+    worker (bounded cache shared with the filter probes); no driver-side
+    collect of probe keys, so ``df.where(bloom_contains_udf(b, spark)
+    (col))`` scales with executor count, not driver memory.
     """
     import uuid
 
     import fastfilter_spark.operators.dist as _dist
 
+    if hashed_input is None:
+        hashed_input = bool(getattr(bloom, "spark_hashed_input", False))
     token = uuid.uuid4().hex
     if spark is not None:
         bc = spark.sparkContext.broadcast(bloom.to_bytes())
@@ -165,7 +178,11 @@ def bloom_contains_udf(bloom: Bloom, spark=None):
         vals = s.to_numpy().astype(np.int64)
         return pd.Series(cached[0].contains(vals))
 
-    return contains
+    def probe(col):
+        col = F.xxhash64(col) if hashed_input else col.cast("long")
+        return contains(col)
+
+    return probe
 
 
 def bloom_sketch(df: DataFrame, col: str, capacity: int | None = None,
@@ -182,4 +199,7 @@ def bloom_sketch(df: DataFrame, col: str, capacity: int | None = None,
         # (max(1,...) keeps an empty input from a zero-size filter)
         capacity = max(1, int(keyed.select(
             F.approx_count_distinct(col).alias("n")).collect()[0]["n"] * 1.1))
-    return sketch_column(keyed, col, lambda: Bloom.from_capacity(capacity, fpp))
+    bf = sketch_column(keyed, col, lambda: Bloom.from_capacity(capacity, fpp))
+    # record the build-side key prep so bloom_contains_udf can mirror it
+    bf.spark_hashed_input = bool(hash_strings_col)
+    return bf

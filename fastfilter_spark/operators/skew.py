@@ -60,18 +60,20 @@ def salted_agg(df: DataFrame, key_cols: list[str],
                 "decompose over salts.")
         specs[name] = spec
 
-    # Deterministic per-row salt: hash of ALL input columns.  A
-    # nondeterministic salt (monotonically_increasing_id, rand) is the
-    # classic shuffle hazard — a map task re-executed after a
-    # shuffle-fetch failure would assign different salts than the lost
-    # attempt, duplicating/dropping phase-1 partials.  Hashing the row
-    # content is stable across retries; rows identical in every column
-    # share a salt, which costs nothing for correctness and only matters
-    # for spreading if the hot key's rows are ALSO byte-identical
-    # (upstream exact-dedup handles that case).
+    # Deterministic per-row salt: hash of ALL input columns + the map
+    # partition id.  A nondeterministic salt (monotonically_increasing_id,
+    # rand) is the classic shuffle hazard — a map task re-executed after
+    # a shuffle-fetch failure would assign different salts than the lost
+    # attempt, duplicating/dropping phase-1 partials.  Content+partition
+    # is stable across retries (a re-executed task keeps its partition id
+    # and rows) AND still spreads hot keys whose rows are byte-identical
+    # (the canonical skewed count(*) case): identical rows collapse to
+    # one salt only WITHIN a map partition — where the phase-1 map-side
+    # combine collapses them into a single partial row anyway — while
+    # across partitions the hot key fans out over the salt range.
     salted = df.withColumn(
-        "_salt", (F.pmod(F.xxhash64(F.lit(0x5A17), *[F.col(c) for c in
-                                                     df.columns]),
+        "_salt", (F.pmod(F.xxhash64(F.lit(0x5A17), F.spark_partition_id(),
+                                    *[F.col(c) for c in df.columns]),
                          F.lit(n_salts))).cast("int"))
 
     phase1 = salted.groupBy(*key_cols, "_salt").agg(

@@ -31,10 +31,16 @@ from fastfilter_spark.operators.dist import (
 )
 
 # filter-table LOG row: one filter row per (shard, micro-batch that
-# touched it); reads resolve latest-wins by batch_id
+# touched it); reads resolve latest-wins by `seq`, a log-local
+# monotonically increasing sequence number.  Spark's batch_id is logged
+# for lineage but NOT used for ordering: batch ids restart at 0 when a
+# stream re-attaches with a fresh checkpoint directory, and ordering by
+# them would then serve STALE shard rows (silent false negatives for
+# keys ingested after the restart).
 TABLE_LOG_SCHEMA = StructType(
     list(FILTER_TABLE_SCHEMA.fields)
-    + [StructField("batch_id", LongType(), False)])
+    + [StructField("batch_id", LongType(), False),
+       StructField("seq", LongType(), False)])
 
 
 class IncrementalFilterMaintainer:
@@ -42,11 +48,12 @@ class IncrementalFilterMaintainer:
 
     State = per-shard key stores (parquet of raw keys, partitioned by
     shard) plus an append-only filter-table LOG (parquet rows of
-    ``FILTER_TABLE_SCHEMA`` + ``batch_id``).  A micro-batch appends its
-    keys to the key store, rebuilds ONLY the shards it touched from
-    their full key sets (partition-pruned read), and APPENDS the rebuilt
-    rows stamped with the batch id.  Readers resolve latest-wins per
-    shard, so untouched shards keep serving their previous rows — and,
+    ``FILTER_TABLE_SCHEMA`` + ``batch_id`` + ``seq``).  A micro-batch
+    appends its keys to the key store, rebuilds ONLY the shards it
+    touched from their full key sets (partition-pruned read), and
+    APPENDS the rebuilt rows stamped with a log-local monotonic ``seq``
+    (restart-safe, see TABLE_LOG_SCHEMA).  Readers resolve latest-wins
+    per shard, so untouched shards keep serving their previous rows — and,
     unlike a read-modify-write of the whole table, nothing is ever
     collected to the driver: per-batch cost is touched-shards only,
     regardless of total filter size (at 2^18 shards the old
@@ -60,18 +67,37 @@ class IncrementalFilterMaintainer:
     """
 
     def __init__(self, base_dir: str, key_col: str = "key",
-                 kind: str = "fuse8", shard_bits: int = 4):
+                 kind: str = "fuse8", shard_bits: int = 4,
+                 compact_every: int | None = None):
         self.base_dir = base_dir
         self.key_col = key_col
         self.kind = kind
         self.shard_bits = shard_bits
         self.keys_dir = os.path.join(base_dir, "keys")
         self.table_dir = os.path.join(base_dir, "filters")
+        # compact inside the batch callback every N batches: foreachBatch
+        # is driver-serial per query, so this can never race an append
+        self.compact_every = compact_every
+        self._batches_seen = 0
+
+    def _next_seq(self, spark: SparkSession) -> int:
+        """Log-local monotonic sequence: max existing + 1 (survives
+        stream restarts with fresh checkpoints, unlike batch_id).  The
+        log holds tiny per-shard rows, so the max() agg reads KBs."""
+        if not os.path.isdir(self.table_dir):
+            return 1
+        try:
+            cur = spark.read.schema(TABLE_LOG_SCHEMA) \
+                .parquet(self.table_dir).agg(F.max("seq")).first()[0]
+        except Exception:
+            return 1
+        return int(cur or 0) + 1
 
     # -- foreachBatch entry ----------------------------------------------
 
     def process_batch(self, batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
+        self._recover_compact()
         keyed = keys_with_shard(batch_df, self.key_col, self.shard_bits)
         if keyed.isEmpty():
             return
@@ -86,8 +112,13 @@ class IncrementalFilterMaintainer:
         store = spark.read.parquet(self.keys_dir) \
             .where(F.col("shard").isin([int(s) for s in touched]))
         rebuilt = build_filter_rows(store, self.kind, 1 << self.shard_bits)
+        seq = self._next_seq(spark)
         rebuilt.withColumn("batch_id", F.lit(int(batch_id)).cast("long")) \
+            .withColumn("seq", F.lit(seq).cast("long")) \
             .write.mode("append").parquet(self.table_dir)
+        self._batches_seen += 1
+        if self.compact_every and self._batches_seen % self.compact_every == 0:
+            self.compact(spark)
 
     # -- reads ------------------------------------------------------------
 
@@ -95,20 +126,21 @@ class IncrementalFilterMaintainer:
         """Latest filter-table row per shard (FILTER_TABLE_SCHEMA shape,
         no batch_id) — feed this to ``probe_via_join`` for probing that
         never materializes payloads anywhere central."""
+        self._recover_compact()
         if not os.path.isdir(self.table_dir):
             raise ValueError(
                 f"no micro-batch has been processed yet ({self.table_dir} "
                 "does not exist); attach() the stream first")
         log = spark.read.schema(TABLE_LOG_SCHEMA).parquet(self.table_dir)
-        # input_rows tiebreak: a re-delivered batch logs the same shard
-        # twice with the same batch_id (identical payload, but the later
+        # input_rows tiebreak: a re-delivered batch can log the same
+        # shard twice at the same seq (identical payload, but the later
         # row saw the re-appended keys, so input_rows is higher) — make
         # the winner deterministic
         w = Window.partitionBy("shard").orderBy(
-            F.desc("batch_id"), F.desc("input_rows"))
+            F.desc("seq"), F.desc("input_rows"))
         return (log.withColumn("_rn", F.row_number().over(w))
                 .where(F.col("_rn") == 1)
-                .drop("_rn", "batch_id"))
+                .drop("_rn", "batch_id", "seq"))
 
     def current_filter(self, spark: SparkSession) -> ShardedFilter:
         """Materialize the latest rows into a broadcastable ShardedFilter
@@ -132,15 +164,28 @@ class IncrementalFilterMaintainer:
 
     # -- maintenance -------------------------------------------------------
 
+    def _recover_compact(self) -> None:
+        """Heal a compact() interrupted between its two renames: if the
+        live dir is gone but the .compact.old snapshot survived, restore
+        it (every public entry point calls this first)."""
+        old = self.table_dir + ".compact.old"
+        if not os.path.isdir(self.table_dir) and os.path.isdir(old):
+            os.rename(old, self.table_dir)
+
     def compact(self, spark: SparkSession) -> None:
         """Fold the log to one (latest) row per shard.  The log grows by
-        touched-shard rows per micro-batch; compact periodically (e.g.
-        every N batches) to keep reads cheap.  Local-FS directory swap;
-        on an object store / Iceberg deployment this is a dynamic
-        partition overwrite instead."""
+        touched-shard rows per micro-batch; compact periodically to keep
+        reads cheap — either pass ``compact_every`` to the constructor
+        (runs inside the serial foreachBatch callback, race-free) or
+        call this manually ONLY while the stream is stopped/paused: the
+        snapshot-and-swap would drop rows appended concurrently.
+        Local-FS directory swap, crash-safe via _recover_compact; on an
+        object store / Iceberg deployment this is a dynamic partition
+        overwrite instead."""
+        self._recover_compact()
         log = spark.read.schema(TABLE_LOG_SCHEMA).parquet(self.table_dir)
         w = Window.partitionBy("shard").orderBy(
-            F.desc("batch_id"), F.desc("input_rows"))
+            F.desc("seq"), F.desc("input_rows"))
         latest = log.withColumn("_rn", F.row_number().over(w)) \
             .where(F.col("_rn") == 1).drop("_rn")
         tmp = self.table_dir + ".compact.tmp"
