@@ -95,6 +95,40 @@ def q_bloom_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
                                  "n_keys long, n_pass long")
 
 
+def q_join_probe_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Membership via the DRIVER-FREE path: build_sharded_table (no
+    payload ever materializes centrally) + probe_via_join (each task
+    gets one shard row).  Zero false negatives => SQL oracle."""
+    from fastfilter_spark.operators.dist import (
+        build_sharded_table, probe_via_join)
+    li = _t(spark, sf_dir, "lineitem")
+    table = build_sharded_table(li, "l_orderkey", kind="fuse8",
+                                shard_bits=3)
+    keys = li.select("l_orderkey").distinct()
+    probed = probe_via_join(keys, "l_orderkey", table)
+    return probed.agg(
+        F.count("*").alias("n_keys"),
+        F.sum(F.col("member").cast("long")).alias("n_pass"))
+
+
+def q_fuse8_arity4_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """4-wise binary-fuse extension (FuseFilter.build arity=4): zero
+    false negatives over the distinct keys, via a broadcast probe of a
+    locally-built filter (single shard keeps it a pure local.py parity
+    check; the sharded path is arity-3 by default)."""
+    import numpy as np
+
+    from fastfilter_spark.operators.local import FuseFilter
+    orders = _t(spark, sf_dir, "orders")
+    keys = np.array([r[0] for r in
+                     orders.select("o_orderkey").distinct().collect()],
+                    dtype=np.int64)
+    f = FuseFilter.build(keys, 8, arity=4)
+    n_pass = int(f.contain(keys.astype(np.uint64)).sum())
+    return spark.createDataFrame([(int(keys.size), n_pass)],
+                                 "n_keys long, n_pass long")
+
+
 def q_semi_join_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     from fastfilter_spark.operators.dist import build_sharded, semi_join_prune
     orders = _t(spark, sf_dir, "orders")
@@ -538,6 +572,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fuse16_membership": _membership("fuse16", "customer", "c_custkey", 0),
         "fuse32_membership": _membership("fuse32", "supplier", "s_suppkey", 0),
         "bloom_membership": q_bloom_membership,
+        "join_probe_membership": q_join_probe_membership,
+        "fuse8_arity4_membership": q_fuse8_arity4_membership,
         "semi_join_prune": q_semi_join_prune,
         "filter_serialization": q_filter_serialization,
         # text / dedup
@@ -583,6 +619,8 @@ def oracle_sql() -> dict[str, str]:
         "fuse16_membership": _membership_sql("customer", "c_custkey"),
         "fuse32_membership": _membership_sql("supplier", "s_suppkey"),
         "bloom_membership": _membership_sql("orders", "o_orderkey"),
+        "join_probe_membership": _membership_sql("lineitem", "l_orderkey"),
+        "fuse8_arity4_membership": _membership_sql("orders", "o_orderkey"),
         "semi_join_prune": (
             "SELECT count(*) AS n_orders, "
             "count(DISTINCT o_custkey) AS n_matched_cust FROM orders "
