@@ -486,6 +486,44 @@ def build_sharded(
     return ShardedFilter.from_filter_table(rows), table
 
 
+def write_bucketed_keys(df: DataFrame, key_col: str, shard_bits: int,
+                        table_name: str, mode: str = "overwrite") -> None:
+    """Persist the key stream as a SHARD-BUCKETED table: the write pays
+    the shuffle once, and every subsequent ``build_sharded_from_bucketed``
+    is completely shuffle-free (Catalyst sees the scan's
+    HashPartitioning(shard) already satisfies the grouped-map
+    distribution — asserted in tests/test_plans.py).  This is the
+    SCALE.md deployment for a 10^12-key corpus that gets re-filtered
+    repeatedly: an Iceberg/bucketBy layout choice, not an engine change.
+    """
+    keyed = keys_with_shard(df, key_col, shard_bits)
+    keyed.write.bucketBy(1 << shard_bits, "shard").sortBy("shard") \
+        .mode(mode).saveAsTable(table_name)
+
+
+def build_sharded_from_bucketed(spark: SparkSession, table_name: str,
+                                kind: str = "fuse8") -> DataFrame:
+    """Shuffle-free filter-table build over a ``write_bucketed_keys``
+    table.  Bucket spec (count + column) is read from the catalog and
+    validated; returns the filter-table DataFrame (pair with
+    ``probe_via_join`` / ``ShardedFilter.from_filter_table``)."""
+    desc = {r["col_name"]: r["data_type"]
+            for r in spark.sql(f"DESCRIBE EXTENDED {table_name}").collect()}
+    try:
+        num_buckets = int(desc.get("Num Buckets", ""))
+    except ValueError:
+        raise ValueError(f"{table_name} is not a bucketed table")
+    if num_buckets <= 0 or (num_buckets & (num_buckets - 1)) != 0:
+        raise ValueError(
+            f"{table_name}: bucket count {num_buckets} must be a power "
+            "of two (write with write_bucketed_keys)")
+    if "shard" not in desc.get("Bucket Columns", ""):
+        raise ValueError(
+            f"{table_name} is bucketed by {desc.get('Bucket Columns')}, "
+            "not by the shard column")
+    return build_filter_rows(spark.table(table_name), kind, num_buckets)
+
+
 def probe_via_join(probes: DataFrame, key_col: str,
                    filter_table: DataFrame) -> DataFrame:
     """Probe WITHOUT broadcasting: cogroup probe keys with filter rows by

@@ -109,3 +109,47 @@ def test_build_has_single_exchange(spark, lineitem):
     plan = _plan(built)
     assert plan.count("Exchange") <= 2  # initial + AQE re-plan reuse line
     assert "FlatMapGroupsInPandas" in plan
+
+
+def test_bucketed_source_build_is_shuffle_free(spark, lineitem, tmp_path):
+    """SCALE.md's shuffle-elimination claim, executed: a key store
+    written with write_bucketed_keys builds its filter table with NO
+    Exchange in the physical plan (the bucketed scan's
+    HashPartitioning(shard) satisfies the grouped-map distribution),
+    while the plain build has one — and both produce identical bytes."""
+    from fastfilter_spark.operators.dist import (
+        ShardedFilter, build_filter_rows, build_sharded_from_bucketed,
+        write_bucketed_keys,
+    )
+    table = "keys_bucketed_plan_test"
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    try:
+        write_bucketed_keys(lineitem, "l_orderkey", 3, table)
+        built = build_sharded_from_bucketed(spark, table, kind="fuse8")
+        plan = built._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, plan
+        rows = [r.asDict() for r in built.collect()]
+        sf = ShardedFilter.from_filter_table(rows)
+
+        keyed = keys_with_shard(lineitem, "l_orderkey", 3)
+        plain = build_filter_rows(keyed, "fuse8", 8)
+        assert "Exchange" in \
+            plain._jdf.queryExecution().executedPlan().toString()
+        sf2 = ShardedFilter.from_filter_table(
+            [r.asDict() for r in plain.collect()])
+        assert sf.payloads == sf2.payloads
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
+
+
+def test_build_sharded_from_bucketed_rejects_unbucketed(spark, lineitem):
+    from fastfilter_spark.operators.dist import build_sharded_from_bucketed
+    table = "keys_plain_plan_test"
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    try:
+        lineitem.select("l_orderkey").limit(100).write \
+            .mode("overwrite").saveAsTable(table)
+        with pytest.raises(ValueError, match="bucketed"):
+            build_sharded_from_bucketed(spark, table)
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
