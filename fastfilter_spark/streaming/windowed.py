@@ -1,0 +1,102 @@
+"""Event-time windowed sketch aggregation with watermark-driven state
+expiry.
+
+The reference library is batch-only; this is the Structured-Streaming
+shape for "distinct urls per 10-minute window, tolerating late events"
+at web scale: the built-in ``window()`` buckets rows by event time, a
+watermark bounds how late data may arrive, and the per-window state is
+a MERGEABLE SKETCH (KBs) held in ``applyInPandasWithState`` rather than
+the raw value set (which would be unbounded).  When the watermark
+passes a window's close (+ allowed lateness) the state times out: the
+operator emits one FINAL row for the window and drops the state — so
+state size is proportional to open windows only, never to history.
+
+Late rows beyond the watermark are dropped by Spark before the stateful
+operator (standard watermark semantics); rows within the allowed
+lateness merge into their window's sketch like any other.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Iterator, Tuple
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    DoubleType, IntegerType, LongType, StringType, StructField, StructType,
+)
+
+from fastfilter_spark.functions.sketches import HyperLogLog
+
+OUT_SCHEMA = StructType([
+    StructField("window_start", LongType(), True),   # epoch seconds
+    StructField("estimate", DoubleType(), False),
+    StructField("n_rows", LongType(), False),
+    StructField("final", IntegerType(), False),      # 1 = window closed
+])
+_STATE_SCHEMA = StructType([
+    StructField("sketch", StringType(), True),       # hex wire bytes
+    StructField("n_rows", LongType(), True),
+])
+
+
+def _update_fn(p: int):
+    def update(key: Tuple[Any, ...],
+               batches: Iterator[pd.DataFrame],
+               state: GroupState) -> Iterator[pd.DataFrame]:
+        # key[0] is the window struct Row(start, end) — it must stay a
+        # watermark-tagged timestamp struct through the plan (casting it
+        # to long strips the watermark and Spark rejects EventTimeTimeout)
+        win = key[0]
+        win_start = int(win["start"].timestamp())
+        win_end_ms = int(win["end"].timestamp() * 1000)
+        if state.hasTimedOut:
+            # watermark passed window end: emit the final row, free state
+            blob_hex, n_rows = state.get
+            hll = HyperLogLog.from_bytes(bytes.fromhex(blob_hex))
+            state.remove()
+            yield pd.DataFrame({"window_start": [win_start],
+                                "estimate": [hll.estimate()],
+                                "n_rows": [int(n_rows)], "final": [1]})
+            return
+        if state.exists:
+            blob_hex, n_rows = state.get
+            hll = HyperLogLog.from_bytes(bytes.fromhex(blob_hex))
+        else:
+            hll, n_rows = HyperLogLog(p), 0
+        for pdf in batches:
+            vals = pdf["value"].dropna().to_numpy().astype(np.int64)
+            if vals.size:
+                hll.update(vals)
+                n_rows += int(vals.size)
+        state.update((hll.to_bytes().hex(), int(n_rows)))
+        # close the window once the event-time watermark passes its end
+        state.setTimeoutTimestamp(win_end_ms)
+        yield pd.DataFrame({"window_start": [win_start],
+                            "estimate": [hll.estimate()],
+                            "n_rows": [int(n_rows)], "final": [0]})
+
+    return update
+
+
+def windowed_hll_distinct(stream_df: DataFrame, ts_col: str, value_col: str,
+                          window_duration: str = "10 minutes",
+                          watermark_delay: str = "5 minutes",
+                          p: int = 12) -> DataFrame:
+    """Per-event-time-window approximate distinct counts over a stream.
+
+    Returns a streaming DataFrame of ``OUT_SCHEMA`` rows: running
+    (final=0) updates while a window is open, and exactly one final=1
+    row when the watermark closes it.  ``value_col`` must be int64
+    (hash strings JVM-side with ``F.xxhash64`` first — same rule as the
+    batch sketch layer)."""
+    win = F.window(F.col(ts_col), window_duration)
+    keyed = (stream_df
+             .withWatermark(ts_col, watermark_delay)
+             .select(win.alias("win"),
+                     F.col(value_col).cast("long").alias("value")))
+    return keyed.groupBy("win").applyInPandasWithState(
+        _update_fn(p), OUT_SCHEMA, _STATE_SCHEMA,
+        "update", GroupStateTimeout.EventTimeTimeout)
