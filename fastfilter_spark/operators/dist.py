@@ -127,7 +127,7 @@ def choose_shard_bits(approx_distinct: int, target_keys_per_shard: int = 1 << 22
         math.log2(approx_distinct / target_keys_per_shard))))
 
 
-def _build_shard_kernel(kind: str, num_shards: int):
+def _build_shard_kernel(kind: str, num_shards: int, arity: int = 3):
     """Grouped-map kernel: one shard's keys -> np.unique dedup -> exact
     reference populate (operators/local.py) -> one filter-table row.
 
@@ -147,7 +147,7 @@ def _build_shard_kernel(kind: str, num_shards: int):
         shard = int(pdf["shard"].iloc[0])
         raw = K.to_uint64(pdf["key"].to_numpy())
         keys = np.unique(raw)
-        filt = build_filter(keys, kind)
+        filt = build_filter(keys, kind, arity=arity)
         payload = filt.to_bytes()
         ms = (time.perf_counter() - t0) * 1e3
         return pd.DataFrame({
@@ -345,6 +345,7 @@ def build_sharded_table(
     target_keys_per_shard: int = 1 << 22,
     checkpoint_dir: str | None = None,
     validate_checkpoint: bool = True,
+    arity: int = 3,
 ) -> DataFrame:
     """Build the filter TABLE without materializing payloads on the
     driver.
@@ -432,7 +433,7 @@ def build_sharded_table(
             keyed = keyed.where(~F.col("shard").isin([int(s) for s in done]))
 
     if len(done) < num_shards:
-        built = build_filter_rows(keyed, kind, num_shards)
+        built = build_filter_rows(keyed, kind, num_shards, arity=arity)
         if checkpoint_dir is not None:
             built.write.mode("append").parquet(checkpoint_dir)
             table = spark.read.schema(FILTER_TABLE_SCHEMA).parquet(checkpoint_dir)
@@ -451,6 +452,7 @@ def build_sharded(
     target_keys_per_shard: int = 1 << 22,
     checkpoint_dir: str | None = None,
     validate_checkpoint: bool = True,
+    arity: int = 3,
 ) -> tuple[ShardedFilter, DataFrame]:
     """Build a sharded filter over ``df[key_col]`` (int64 keys).
 
@@ -468,7 +470,8 @@ def build_sharded(
     num_shards = 1 << shard_bits
     table = build_sharded_table(
         df, key_col, kind=kind, shard_bits=shard_bits,
-        checkpoint_dir=checkpoint_dir, validate_checkpoint=validate_checkpoint)
+        checkpoint_dir=checkpoint_dir, validate_checkpoint=validate_checkpoint,
+        arity=arity)
 
     rows = [r.asDict() for r in table.collect()]
     # shards that received zero keys produce no kernel row (groupBy only
@@ -571,12 +574,14 @@ def probe_via_join(probes: DataFrame, key_col: str,
 
 
 def build_filter_rows(keyed: DataFrame, kind: str,
-                      num_shards: int) -> DataFrame:
+                      num_shards: int, arity: int = 3) -> DataFrame:
     """Low-level: (key, shard) rows -> filter-table rows for the shards
     PRESENT in ``keyed`` (no completeness requirement — used by
-    checkpoint resume and streaming incremental rebuild)."""
+    checkpoint resume and streaming incremental rebuild).  ``arity=4``
+    builds 4-wise fuse shards; probes need no flag (deserialization
+    infers arity from each payload's layout)."""
     return keyed.groupBy("shard").applyInPandas(
-        _build_shard_kernel(kind, num_shards), schema=FILTER_TABLE_SCHEMA)
+        _build_shard_kernel(kind, num_shards, arity), schema=FILTER_TABLE_SCHEMA)
 
 
 def semi_join_prune(fact: DataFrame, fact_key: str, sf: ShardedFilter,

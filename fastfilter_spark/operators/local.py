@@ -637,18 +637,16 @@ def empty_filter(kind: str):
 
 
 # convenience constructors matching the reference's four types + fuse32
-def build_filter(keys, kind: str):
-    """kind in {xor8, xor16, fuse8, fuse16, fuse32}."""
-    if kind == "xor8":
-        return XorFilter.build(keys, 8)
-    if kind == "xor16":
-        return XorFilter.build(keys, 16)
-    if kind == "fuse8":
-        return FuseFilter.build(keys, 8)
-    if kind == "fuse16":
-        return FuseFilter.build(keys, 16)
-    if kind == "fuse32":
-        return FuseFilter.build(keys, 32)
+def build_filter(keys, kind: str, arity: int = 3):
+    """kind in {xor8, xor16, fuse8, fuse16, fuse32}; ``arity=4`` selects
+    the 4-wise fuse extension (fuse kinds only — deserialization infers
+    arity from the wire layout, so downstream probes need no flag)."""
+    if kind in ("xor8", "xor16"):
+        if arity != 3:
+            raise ValueError("arity applies to fuse kinds only")
+        return XorFilter.build(keys, int(kind[3:]))
+    if kind in ("fuse8", "fuse16", "fuse32"):
+        return FuseFilter.build(keys, int(kind[4:]), arity=arity)
     raise ValueError(f"unknown filter kind: {kind}")
 
 

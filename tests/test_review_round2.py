@@ -179,3 +179,20 @@ def test_fuse_arity4_degenerate_sizes(n):
     probes = np.random.default_rng(5).integers(1 << 40, 1 << 62, 20_000,
                                                dtype=np.uint64)
     assert f.contain(probes).mean() <= 0.02 + (0.05 if n else 0.0)
+
+
+def test_sharded_arity4_build_and_probe(spark, sf_dir):
+    """arity=4 threads through the distributed build; probes need no
+    flag (payload deserialization infers arity from the wire layout)."""
+    from fastfilter_spark.operators.dist import build_sharded
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    sf, table = build_sharded(li, "l_orderkey", kind="fuse8",
+                              shard_bits=2, arity=4)
+    keys = li.select("l_orderkey").distinct()
+    n = keys.count()
+    assert keys.where(sf.contains_udf(spark)(
+        F.col("l_orderkey"))).count() == n
+    # 4-wise shards are denser than 3-wise for the same keys
+    sf3, _ = build_sharded(li, "l_orderkey", kind="fuse8", shard_bits=2)
+    assert sf.size_in_bytes() < sf3.size_in_bytes()
