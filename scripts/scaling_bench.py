@@ -33,6 +33,7 @@ os.environ["PYTHONPATH"] = (
     _REPO + os.pathsep + os.environ.get("PYTHONPATH", "")).rstrip(os.pathsep)
 
 N_KEYS = int(os.environ.get("SCALING_N_KEYS", 20_000_000))
+RUNS = int(os.environ.get("SCALING_RUNS", 5))
 SHARD_BITS = int(os.environ.get("SCALING_SHARD_BITS", 6))
 
 
@@ -69,11 +70,11 @@ def run_level(cpus: int) -> dict:
         with open("/proc/stat") as f:
             return int(f.readline().split()[8])
 
-    # best-of-5 with per-run hypervisor steal recorded: this sandbox VM
+    # best-of-N with per-run hypervisor steal recorded: this sandbox VM
     # suffers heavy steal bursts under load, so single runs are noisy
     best_build, steal_s = float("inf"), 0.0
     sf = None
-    for _ in range(5):
+    for _ in range(RUNS):
         s0 = steal_jiffies()
         t0 = time.perf_counter()
         sf, _ = build_sharded(keys, "key", kind="fuse8",
