@@ -105,7 +105,9 @@ def q_join_probe_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
     table = build_sharded_table(li, "l_orderkey", kind="fuse8",
                                 shard_bits=3)
     keys = li.select("l_orderkey").distinct()
-    probed = probe_via_join(keys, "l_orderkey", table)
+    # num_shards passed explicitly: the table is a lazy build plan and
+    # the metadata lookup would execute the whole build a second time
+    probed = probe_via_join(keys, "l_orderkey", table, num_shards=8)
     return probed.agg(
         F.count("*").alias("n_keys"),
         F.sum(F.col("member").cast("long")).alias("n_pass"))

@@ -374,6 +374,12 @@ def build_sharded_table(
     BASELINE.json:north_rule) after validating the input is unchanged.
     """
     spark = df.sparkSession
+    # argument errors fail HERE on the driver, not minutes later inside
+    # a shard task after the scan and shuffle already ran
+    if kind not in ("xor8", "xor16", "fuse8", "fuse16", "fuse32"):
+        raise ValueError(f"unknown filter kind: {kind}")
+    if arity != 3 and not kind.startswith("fuse"):
+        raise ValueError("arity applies to fuse kinds only")
     if shard_bits is None:
         approx = df.select(F.approx_count_distinct(key_col).alias("n")) \
                    .collect()[0]["n"]
@@ -404,6 +410,19 @@ def build_sharded_table(
                     f"{sorted(shard_counts)}) vs requested "
                     f"(kind={kind}, num_shards={num_shards}); "
                     "use a fresh directory")
+            if kind.startswith("fuse"):
+                # FILTER_TABLE_SCHEMA stores no arity column, but each
+                # payload's wire layout determines it — inspect one row
+                # so an arity-3 checkpoint cannot silently resume into a
+                # mixed-arity table when arity=4 was requested
+                sample = existing.select("payload").first()["payload"]
+                stored_arity = filter_from_bytes(bytes(sample), kind).arity
+                if stored_arity != arity:
+                    raise ValueError(
+                        f"checkpoint_dir {checkpoint_dir} holds "
+                        f"{stored_arity}-wise {kind} payloads but "
+                        f"arity={arity} was requested; use a fresh "
+                        "directory")
             done = {r["shard"] for r in meta}
         if done and validate_checkpoint:
             # input-identity check: a resume against a CHANGED/GROWN input
@@ -505,7 +524,8 @@ def write_bucketed_keys(df: DataFrame, key_col: str, shard_bits: int,
 
 
 def build_sharded_from_bucketed(spark: SparkSession, table_name: str,
-                                kind: str = "fuse8") -> DataFrame:
+                                kind: str = "fuse8",
+                                arity: int = 3) -> DataFrame:
     """Shuffle-free filter-table build over a ``write_bucketed_keys``
     table.  Bucket spec (count + column) is read from the catalog and
     validated; returns the filter-table DataFrame (pair with
@@ -520,15 +540,23 @@ def build_sharded_from_bucketed(spark: SparkSession, table_name: str,
         raise ValueError(
             f"{table_name}: bucket count {num_buckets} must be a power "
             "of two (write with write_bucketed_keys)")
-    if "shard" not in desc.get("Bucket Columns", ""):
+    # exact match, not substring: a table bucketed by shard_id or by
+    # (key, shard) would pass a loose check but NOT satisfy the
+    # grouped-map distribution — Catalyst would silently reinsert the
+    # Exchange this function exists to avoid
+    bucket_cols = [c.strip(" `") for c in
+                   desc.get("Bucket Columns", "").strip("[]").split(",")]
+    if bucket_cols != ["shard"]:
         raise ValueError(
-            f"{table_name} is bucketed by {desc.get('Bucket Columns')}, "
-            "not by the shard column")
-    return build_filter_rows(spark.table(table_name), kind, num_buckets)
+            f"{table_name} is bucketed by {bucket_cols}, not by exactly "
+            "the shard column (write with write_bucketed_keys)")
+    return build_filter_rows(spark.table(table_name), kind, num_buckets,
+                             arity=arity)
 
 
 def probe_via_join(probes: DataFrame, key_col: str,
-                   filter_table: DataFrame) -> DataFrame:
+                   filter_table: DataFrame,
+                   num_shards: int | None = None) -> DataFrame:
     """Probe WITHOUT broadcasting: cogroup probe keys with filter rows by
     shard id.
 
@@ -541,7 +569,12 @@ def probe_via_join(probes: DataFrame, key_col: str,
     Returns (key, member boolean); rows with keys only (no extra
     columns) — join back on key for row-level filtering.
     """
-    num_shards = filter_table.select(F.first("num_shards")).first()[0]
+    if num_shards is None:
+        # NB: when filter_table is an unmaterialized build plan, this
+        # lookup EXECUTES it once just to read one number and the
+        # cogroup below executes it again — pass num_shards explicitly
+        # (or persist the table) to avoid the double build
+        num_shards = filter_table.select(F.first("num_shards")).first()[0]
     shard_bits = int(math.log2(num_shards))
     keyed = keys_with_shard(probes, key_col, shard_bits)
 

@@ -25,7 +25,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
-    DoubleType, IntegerType, LongType, StringType, StructField, StructType,
+    BinaryType, DoubleType, IntegerType, LongType, StructField, StructType,
 )
 
 from fastfilter_spark.functions.sketches import HyperLogLog
@@ -37,7 +37,7 @@ OUT_SCHEMA = StructType([
     StructField("final", IntegerType(), False),      # 1 = window closed
 ])
 _STATE_SCHEMA = StructType([
-    StructField("sketch", StringType(), True),       # hex wire bytes
+    StructField("sketch", BinaryType(), True),       # HLL wire bytes
     StructField("n_rows", LongType(), True),
 ])
 
@@ -46,24 +46,27 @@ def _update_fn(p: int):
     def update(key: Tuple[Any, ...],
                batches: Iterator[pd.DataFrame],
                state: GroupState) -> Iterator[pd.DataFrame]:
-        # key[0] is the window struct Row(start, end) — it must stay a
-        # watermark-tagged timestamp struct through the plan (casting it
-        # to long strips the watermark and Spark rejects EventTimeTimeout)
-        win = key[0]
-        win_start = int(win["start"].timestamp())
-        win_end_ms = int(win["end"].timestamp() * 1000)
+        # key = (window struct, start epoch s, end epoch s).  The struct
+        # must stay in the grouping key as a watermark-tagged timestamp
+        # column (casting it away makes Spark reject EventTimeTimeout);
+        # the epoch longs are cast JVM-side in the plan, so they are
+        # timezone-correct — interpreting the struct's tz-NAIVE
+        # session-zone datetimes via .timestamp() here would shift every
+        # window bound by the session-UTC offset
+        win_start = int(key[1])
+        win_end_ms = int(key[2]) * 1000
         if state.hasTimedOut:
             # watermark passed window end: emit the final row, free state
-            blob_hex, n_rows = state.get
-            hll = HyperLogLog.from_bytes(bytes.fromhex(blob_hex))
+            blob, n_rows = state.get
+            hll = HyperLogLog.from_bytes(bytes(blob))
             state.remove()
             yield pd.DataFrame({"window_start": [win_start],
                                 "estimate": [hll.estimate()],
                                 "n_rows": [int(n_rows)], "final": [1]})
             return
         if state.exists:
-            blob_hex, n_rows = state.get
-            hll = HyperLogLog.from_bytes(bytes.fromhex(blob_hex))
+            blob, n_rows = state.get
+            hll = HyperLogLog.from_bytes(bytes(blob))
         else:
             hll, n_rows = HyperLogLog(p), 0
         for pdf in batches:
@@ -71,7 +74,7 @@ def _update_fn(p: int):
             if vals.size:
                 hll.update(vals)
                 n_rows += int(vals.size)
-        state.update((hll.to_bytes().hex(), int(n_rows)))
+        state.update((hll.to_bytes(), int(n_rows)))
         # close the window once the event-time watermark passes its end
         state.setTimeoutTimestamp(win_end_ms)
         yield pd.DataFrame({"window_start": [win_start],
@@ -96,7 +99,13 @@ def windowed_hll_distinct(stream_df: DataFrame, ts_col: str, value_col: str,
     keyed = (stream_df
              .withWatermark(ts_col, watermark_delay)
              .select(win.alias("win"),
-                     F.col(value_col).cast("long").alias("value")))
-    return keyed.groupBy("win").applyInPandasWithState(
-        _update_fn(p), OUT_SCHEMA, _STATE_SCHEMA,
-        "update", GroupStateTimeout.EventTimeTimeout)
+                     F.col(value_col).cast("long").alias("value"))
+             # epoch bounds computed JVM-side (timezone-correct); they
+             # ride in the grouping key so the timeout branch — which
+             # sees no input rows — still knows the window bounds
+             .withColumn("win_start_s", F.col("win.start").cast("long"))
+             .withColumn("win_end_s", F.col("win.end").cast("long")))
+    return keyed.groupBy("win", "win_start_s", "win_end_s") \
+        .applyInPandasWithState(
+            _update_fn(p), OUT_SCHEMA, _STATE_SCHEMA,
+            "update", GroupStateTimeout.EventTimeTimeout)

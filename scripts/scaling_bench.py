@@ -152,7 +152,7 @@ def main():
 Same job, same input ({results[levels[0]]['n_keys']:,} url keys), multiple
 parallelism levels on one host (local[N] standing in for N executors per
 the driver instruction).  Job = sharded binary-fuse8 construction
-({1 << SHARD_BITS} shards) + full membership probe; best of 5 timed runs
+({1 << SHARD_BITS} shards) + full membership probe; best of {RUNS} timed runs
 after a full-scale warm-up, with hypervisor steal time during the best
 build run recorded (this sandbox VM suffers heavy steal bursts under
 load — single-run numbers are noisy).

@@ -81,3 +81,29 @@ def test_windowed_hll_watermark_lifecycle(spark, tmp_path):
     w30 = [r for r in out
            if r["window_start"] == int(T0.timestamp()) + 30]
     assert [r for r in w30 if r["final"] == 1][-1]["n_rows"] == 3
+
+
+def test_windowed_hll_non_utc_session_timezone(spark, tmp_path):
+    """Review finding: window bounds must come from JVM-side epoch casts,
+    not Python .timestamp() on tz-naive session-zone datetimes — with a
+    non-UTC session the naive interpretation shifts every bound by the
+    UTC offset (crashing the timeout or double-finalizing windows)."""
+    old_tz = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+    try:
+        src = str(tmp_path / "src_tz")
+        ckpt = str(tmp_path / "ckpt_tz")
+        out: list = []
+        _write(spark, src, [(i, 5000 + i) for i in range(10)]
+               + [(30, 6000)])
+        _run(spark, src, ckpt, out)
+        _write(spark, src, [(60, 7000)])
+        _run(spark, src, ckpt, out)
+
+        starts = sorted({r["window_start"] for r in out})
+        assert all(s % 10 == 0 for s in starts)
+        w0 = [r for r in out if r["window_start"] == starts[0]]
+        finals = [r for r in w0 if r["final"] == 1]
+        assert len(finals) == 1 and finals[0]["n_rows"] == 10
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", old_tz)
