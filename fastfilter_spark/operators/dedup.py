@@ -138,7 +138,14 @@ def minhash_signature_fast_udf(n_hashes: int = 128, shingle_k: int = 5):
     """Vectorized minhash: (a*x+b) mod 2^61-1 computed in 32-bit limbs
     (a = a1*2^32+a0, x = x1*2^32+x0; every partial product < 2^64, each
     folded with the Mersenne identity 2^61 ≡ 1).  Matches
-    minhash_signature_udf bit-for-bit at numpy speed."""
+    minhash_signature_udf bit-for-bit at numpy speed.
+
+    (A doc-blocked variant computing one (n_hashes, total_shingles)
+    matrix per 64 docs with segmented reduceat minima was measured 7x
+    SLOWER: per-doc (n_hashes, ~thousands) matrices stay L2-resident
+    while block-sized temporaries spill to DRAM.  The O(shingles x
+    hashes) arithmetic is the honest cost of the exact mod-p family —
+    for the O(shingles) scale path see minhash_signature_oph_udf.)"""
     a, b = _minhash_params(n_hashes)
     a1 = (a >> np.uint64(32))[:, None]
     a0 = (a & np.uint64(0xFFFFFFFF))[:, None]
@@ -162,6 +169,49 @@ def minhash_signature_fast_udf(n_hashes: int = 128, shingle_k: int = 5):
     return signature
 
 
+def minhash_signature_oph_udf(n_hashes: int = 128, shingle_k: int = 5):
+    """One-permutation minhash (Li, Owen & Zhang 2012) with rotation
+    densification (Shrivastava & Li 2014): ONE 64-bit hash per shingle,
+    binned into ``n_hashes`` buckets, per-bucket minimum — O(shingles)
+    work instead of the classic O(shingles x n_hashes), which makes the
+    signature stage ~n_hashes-times cheaper at identical signature
+    width.  Collision probability per component ~= Jaccard, so banding
+    and the S-curve tuning apply unchanged; the exact-Jaccard verify
+    step downstream makes precision identical either way.
+
+    Empty buckets (only possible when a doc has fewer than ~8x
+    n_hashes shingles) borrow the next filled bucket's value
+    circularly — the densified estimator stays consistent.
+    Deterministic; NOT cross-compatible with the (a*x+b) mod p family.
+    """
+    nh64 = np.uint64(n_hashes)
+
+    @F.pandas_udf(ArrayType(LongType()))
+    def signature(s: pd.Series) -> pd.Series:
+        out = []
+        idx = np.arange(n_hashes)
+        sentinel = np.iinfo(np.int64).max
+        for txt in s.fillna("").to_numpy():
+            h = _shingle_hashes(txt, shingle_k)
+            bins = (h % nh64).astype(np.int64)
+            vals = (h >> np.uint64(1)).astype(np.int64)  # order-preserving
+            sig = np.full(n_hashes, sentinel, dtype=np.int64)
+            np.minimum.at(sig, bins, vals)
+            empty = sig == sentinel
+            if empty.any():
+                filled = np.flatnonzero(~empty)
+                if filled.size == 0:
+                    sig[:] = 0
+                else:
+                    borrow = filled[
+                        np.searchsorted(filled, idx) % filled.size]
+                    sig = np.where(empty, sig[borrow], sig)
+            out.append(sig)
+        return pd.Series(out)
+
+    return signature
+
+
 def band_hashes(sig_col, n_hashes: int, bands: int):
     """array<long> of per-band hashes from a signature column (JVM-side:
     slice + hash per band — no Python).  The band index is mixed in so
@@ -178,7 +228,8 @@ def lsh_candidates(df: DataFrame, id_col: str = "doc_id",
                    text_col: str = "text", n_hashes: int = 128,
                    bands: int = 32, shingle_k: int = 5,
                    max_bucket: int = 64,
-                   with_estimate: bool = True) -> DataFrame:
+                   with_estimate: bool = True,
+                   family: str = "oph") -> DataFrame:
     """Candidate near-duplicate pairs (id_a < id_b[, est_jaccard]).
 
     Pipeline: exact-dedup by fingerprint -> signature UDF -> per-band
@@ -189,8 +240,18 @@ def lsh_candidates(df: DataFrame, id_col: str = "doc_id",
     ``with_estimate=False`` drops the signature columns before the join
     and distinct — cheaper when an exact-Jaccard verify follows anyway
     (the minhash_dedup_pairs path).
+
+    ``family``: "oph" (default — one-permutation hashing, O(shingles)
+    per doc, the 10^12-doc scale path) or "exact" (classic per-hash
+    (a*x+b) mod p, O(shingles x n_hashes), bit-compatible with
+    minhash_signature_udf).  Both are deterministic; candidate sets may
+    differ slightly, which downstream exact-Jaccard verification
+    absorbs.
     """
-    sig = minhash_signature_fast_udf(n_hashes, shingle_k)
+    if family not in ("oph", "exact"):
+        raise ValueError("family must be 'oph' or 'exact'")
+    sig = (minhash_signature_oph_udf if family == "oph"
+           else minhash_signature_fast_udf)(n_hashes, shingle_k)
     uniq = exact_dedup(df.select(id_col, text_col), text_col)
     # AQE coalesces the small post-dedup shuffle to 1 partition, which
     # would serialize the (CPU-heavy) signature UDF — spread it back out
@@ -283,7 +344,11 @@ def minhash_dedup_pairs(df: DataFrame, id_col: str = "doc_id",
                         **lsh_kw) -> DataFrame:
     """End-to-end near-dup pairs at exact Jaccard >= threshold.
 
-    ``bands=None`` tunes the banding to the threshold (see tune_bands).
+    ``bands=None`` tunes the banding to the threshold (see tune_bands);
+    candidates come from the OPH signature family by default
+    (family="exact" in ``lsh_kw`` selects the classic per-hash form) and
+    every returned pair is verified with EXACT shingle Jaccard, so the
+    family choice affects recall cost, never precision.
     """
     if bands is None:
         bands = tune_bands(n_hashes, threshold)

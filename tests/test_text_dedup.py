@@ -234,3 +234,50 @@ def test_multimodal_real_decode_raises(spark):
     media = synthesize_media(spark, 3, kind="image")
     with pytest.raises(Exception):  # NotImplementedError inside executor
         image_features(media, decode="real").collect()
+
+
+def test_oph_family_matches_exact_verified_pairs(spark, sf_dir):
+    """The OPH signature family (default) must produce the same VERIFIED
+    pair set as the exact mod-p family on this corpus (precision is
+    exact either way; recall agrees here), and reject unknown
+    families."""
+    import pytest
+
+    from fastfilter_spark.operators.dedup import (
+        lsh_candidates, minhash_dedup_pairs)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet") \
+        .select("doc_id", "text")
+    a = {(r["id_a"], r["id_b"]) for r in minhash_dedup_pairs(
+        docs, threshold=0.7, n_hashes=64, family="oph").collect()}
+    b = {(r["id_a"], r["id_b"]) for r in minhash_dedup_pairs(
+        docs, threshold=0.7, n_hashes=64, family="exact").collect()}
+    assert a == b
+    with pytest.raises(ValueError, match="family"):
+        lsh_candidates(docs, family="nope")
+
+
+def test_oph_signature_properties(spark):
+    """OPH signatures: deterministic, right width, identical docs agree
+    fully, disjoint docs agree ~never, and tiny docs densify (no
+    sentinel values)."""
+    import numpy as np
+
+    from fastfilter_spark.operators.dedup import minhash_signature_oph_udf
+    from pyspark.sql import functions as F
+
+    docs = spark.createDataFrame(
+        [(0, "the quick brown fox jumps over the lazy dog " * 20),
+         (1, "the quick brown fox jumps over the lazy dog " * 20),
+         (2, "entirely different content with no overlap at all " * 20),
+         (3, "tiny")],
+        "doc_id long, text string")
+    sig = minhash_signature_oph_udf(64, 5)
+    rows = {r["doc_id"]: np.array(r["s"]) for r in
+            docs.select("doc_id", sig(F.col("text")).alias("s")).collect()}
+    assert all(v.size == 64 for v in rows.values())
+    assert (rows[0] == rows[1]).all()                  # identical docs
+    assert (rows[0] == rows[2]).mean() < 0.2           # disjoint docs
+    assert (rows[3] < np.iinfo(np.int64).max).all()    # densified
+    rows2 = {r["doc_id"]: np.array(r["s"]) for r in
+             docs.select("doc_id", sig(F.col("text")).alias("s")).collect()}
+    assert all((rows[k] == rows2[k]).all() for k in rows)
