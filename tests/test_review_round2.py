@@ -196,3 +196,22 @@ def test_sharded_arity4_build_and_probe(spark, sf_dir):
     # 4-wise shards are denser than 3-wise for the same keys
     sf3, _ = build_sharded(li, "l_orderkey", kind="fuse8", shard_bits=2)
     assert sf.size_in_bytes() < sf3.size_in_bytes()
+
+
+def test_checkpoint_rejects_arity_mismatch(spark, sf_dir, tmp_path):
+    """Resuming an arity-3 checkpoint with arity=4 must fail loudly
+    (the schema has no arity column; payload layout inspection catches
+    it) instead of producing a mixed-arity filter table."""
+    from fastfilter_spark.operators.dist import build_sharded_table
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    ck = str(tmp_path / "ck_arity")
+    build_sharded_table(li, "l_orderkey", kind="fuse8", shard_bits=2,
+                        checkpoint_dir=ck)
+    with pytest.raises(ValueError, match="arity"):
+        build_sharded_table(li, "l_orderkey", kind="fuse8", shard_bits=2,
+                            checkpoint_dir=ck, arity=4)
+    # argument errors fail on the driver before any job
+    with pytest.raises(ValueError, match="fuse kinds"):
+        build_sharded_table(li, "l_orderkey", kind="xor8", shard_bits=2,
+                            arity=4)
