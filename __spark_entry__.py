@@ -170,6 +170,26 @@ def q_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(bpe_ish_token_count(F.col("text"))).alias("total_bpe_tokens"))
 
 
+def q_quality_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality features (functions/text.quality_columns) are pure
+    codegen expressions, so DuckDB can recompute them exactly: per-lang
+    sums of chars, punctuation chars, and stopword hits."""
+    from fastfilter_spark.functions.text import (
+        quality_columns, stopword_hits)
+    docs = _t(spark, sf_dir, "documents")
+    q = quality_columns(F.col("text"))
+    n_punct = (F.length("text") - F.length(
+        F.regexp_replace(F.col("text"), r"[^A-Za-z0-9\s]", ""))).cast("long")
+    return (docs.select("lang", q["n_chars"].alias("_c"),
+                        n_punct.alias("_p"),
+                        stopword_hits(F.col("text")).alias("_s"))
+            .groupBy("lang")
+            .agg(F.sum("_c").alias("sum_chars"),
+                 F.sum("_p").alias("sum_punct"),
+                 F.sum("_s").alias("sum_stop_hits"))
+            .orderBy("lang"))
+
+
 def q_quality_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     return (docs.select((F.floor(F.length("text") / 100))
@@ -583,6 +603,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_stats": q_token_stats,
         "bpe_tokens": q_bpe_tokens,
         "quality_buckets": q_quality_buckets,
+        "quality_features": q_quality_features,
         "lang_distribution": q_lang_distribution,
         "fingerprints": q_fingerprints,
         "minhash_near_dups": q_minhash_near_dups,
@@ -644,6 +665,15 @@ def oracle_sql() -> dict[str, str]:
         "quality_buckets": (
             "SELECT CAST(floor(length(text) / 100) AS BIGINT) AS bucket, "
             "count(*) AS n_docs FROM documents GROUP BY 1 ORDER BY 1"),
+        "quality_features": (
+            "SELECT lang, CAST(sum(length(text)) AS BIGINT) AS sum_chars, "
+            "CAST(sum(length(text) - length(regexp_replace(text, "
+            "'[^A-Za-z0-9\\s]', '', 'g'))) AS BIGINT) AS sum_punct, "
+            "CAST(sum(len(list_filter(regexp_split_to_array("
+            "lower(trim(text)), '\\s+'), w -> w IN ('the','a','of','and',"
+            "'to','in','is','for','with','on')))) AS BIGINT) "
+            "AS sum_stop_hits "
+            "FROM documents GROUP BY lang ORDER BY lang"),
         "lang_distribution": (
             "SELECT lang, count(*) AS n FROM documents GROUP BY lang "
             "ORDER BY lang"),

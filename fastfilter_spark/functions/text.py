@@ -46,6 +46,15 @@ def bpe_ish_token_count(col: Column) -> Column:
 _STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "for", "with", "on")
 
 
+def stopword_hits(text_col: Column) -> Column:
+    """Count of stopword tokens (codegen-able; the integer numerator of
+    quality_columns' stopword_ratio)."""
+    return F.size(F.array_remove(F.transform(
+        F.split(F.lower(F.trim(text_col)), r"\s+"),
+        lambda w: F.when(w.isin(*_STOPWORDS), w).otherwise(F.lit("_"))),
+        "_")).cast("long")
+
+
 def quality_columns(text_col: Column) -> dict[str, Column]:
     """Length / punctuation / stopword quality features, all codegen-able.
 
@@ -57,10 +66,7 @@ def quality_columns(text_col: Column) -> dict[str, Column]:
     # punctuation chars = chars that are neither alnum nor whitespace
     n_punct = (F.length(text_col) -
                F.length(F.regexp_replace(text_col, r"[^A-Za-z0-9\s]", "")))
-    stop_hits = F.size(F.array_remove(F.transform(
-        F.split(F.lower(F.trim(text_col)), r"\s+"),
-        lambda w: F.when(w.isin(*_STOPWORDS), w).otherwise(F.lit("_"))),
-        "_")).cast("long")
+    stop_hits = stopword_hits(text_col)
     mean_token_len = F.when(n_tokens > 0,
                             (n_chars - (n_tokens - 1)) / n_tokens).otherwise(0.0)
     return {
