@@ -480,6 +480,41 @@ def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _planted_recovery(pairs, 10)
 
 
+def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram (shingle) Jaccard as a standalone verification
+    operator (dedup tier 4): score planted near-dup candidate pairs and
+    count how many clear the threshold — every planted pair must (the
+    tail added is a small fraction of each doc), so the oracle is the
+    literal (n_pairs, n_pairs)."""
+    from fastfilter_spark.operators.dedup import exact_dedup, verify_jaccard
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    base = exact_dedup(docs)
+    near = base.orderBy("doc_id").limit(20).select(
+        (F.col("doc_id") + _PLANT_OFFSET).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" tail")).alias("text"))
+    cand = base.orderBy("doc_id").limit(20).select(
+        F.col("doc_id").alias("id_a"),
+        (F.col("doc_id") + _PLANT_OFFSET).alias("id_b"))
+    scored = verify_jaccard(cand, docs.unionAll(near))
+    n_pairs = scored.count()
+    n_above = scored.where(F.col("jaccard") >= 0.5).count()
+    return spark.createDataFrame([(n_pairs, n_above)],
+                                 "n_pairs long, n_above long")
+
+
+def q_pipeline_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed training-data pipeline: quality filter -> exact dedup ->
+    token accounting — every stage is codegen-able, so the WHOLE
+    pipeline has an exact SQL oracle."""
+    from fastfilter_spark.functions.text import quality_score, token_count
+    from fastfilter_spark.operators.dedup import exact_dedup
+    docs = _t(spark, sf_dir, "documents")
+    kept = exact_dedup(docs.where(quality_score(F.col("text")) >= 0.7))
+    return kept.agg(
+        F.count("*").alias("n_docs"),
+        F.sum(token_count(F.col("text"))).alias("total_tokens"))
+
+
 def q_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF recall vs brute force at nprobe=3/8: emits an invariant flag
     (recall >= 2/3 over 3 queries x top-5; the synthetic embeddings are
@@ -607,6 +642,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_distribution": q_lang_distribution,
         "fingerprints": q_fingerprints,
         "minhash_near_dups": q_minhash_near_dups,
+        "ngram_jaccard": q_ngram_jaccard,
+        "pipeline_tokens": q_pipeline_tokens,
         "simhash_near_dups": q_simhash_near_dups,
         "embedding_near_dup": q_embedding_near_dup,
         # similarity
@@ -763,6 +800,37 @@ def oracle_sql() -> dict[str, str]:
         "ivf_recall": (
             "SELECT CAST(3 AS BIGINT) AS n_queries, CAST(5 AS BIGINT) "
             "AS k, CAST(1 AS INT) AS recall_ok"),
+        "ngram_jaccard": (
+            "SELECT CAST(20 AS BIGINT) AS n_pairs, "
+            "CAST(20 AS BIGINT) AS n_above"),
+        "pipeline_tokens": (
+            "WITH scored AS ("
+            "  SELECT text,"
+            "    CASE WHEN trim(text) = '' THEN 0"
+            "         ELSE len(regexp_split_to_array(trim(text), '\\s+'))"
+            "    END AS n_tokens,"
+            "    length(text) AS n_chars,"
+            "    length(text) - length(regexp_replace(text, "
+            "'[^A-Za-z0-9\\s]', '', 'g')) AS n_punct,"
+            "    len(list_filter(regexp_split_to_array(lower(trim(text)),"
+            " '\\s+'), w -> w IN ('the','a','of','and','to','in','is',"
+            "'for','with','on'))) AS stop_hits"
+            "  FROM documents),"
+            " q AS ("
+            "  SELECT text, n_tokens,"
+            "    (CASE WHEN n_tokens >= 5 AND n_tokens <= 100000 "
+            "THEN 1.0 ELSE 0.2 END) * 0.4"
+            "    + least((CASE WHEN n_tokens > 0 THEN "
+            "CAST(stop_hits AS DOUBLE) / n_tokens ELSE 0.0 END) * 4, 1.0)"
+            " * 0.4"
+            "    + (CASE WHEN (CASE WHEN n_chars > 0 THEN "
+            "CAST(n_punct AS DOUBLE) / n_chars ELSE 0.0 END) < 0.3 "
+            "THEN 1.0 ELSE 0.3 END) * 0.2 AS score"
+            "  FROM scored)"
+            " SELECT count(*) AS n_docs, "
+            "CAST(sum(n_tokens) AS BIGINT) AS total_tokens FROM "
+            "(SELECT text, max(n_tokens) AS n_tokens FROM q "
+            "WHERE score >= 0.7 GROUP BY text)"),
         "ivf_fullprobe_topk": (
             "SELECT CAST(row_number() OVER "
             "(ORDER BY list_cosine_similarity(embedding, "
