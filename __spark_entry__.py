@@ -114,20 +114,18 @@ def q_join_probe_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_fuse8_arity4_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """4-wise binary-fuse extension (FuseFilter.build arity=4): zero
-    false negatives over the distinct keys, via a broadcast probe of a
-    locally-built filter (single shard keeps it a pure local.py parity
-    check; the sharded path is arity-3 by default)."""
-    import numpy as np
-
-    from fastfilter_spark.operators.local import FuseFilter
+    """4-wise binary-fuse extension through the DISTRIBUTED path
+    (build_sharded(arity=4) + broadcast probe UDF — no key collect to
+    the driver): zero false negatives over the distinct keys."""
+    from fastfilter_spark.operators.dist import build_sharded
     orders = _t(spark, sf_dir, "orders")
-    keys = np.array([r[0] for r in
-                     orders.select("o_orderkey").distinct().collect()],
-                    dtype=np.int64)
-    f = FuseFilter.build(keys, 8, arity=4)
-    n_pass = int(f.contain(keys.astype(np.uint64)).sum())
-    return spark.createDataFrame([(int(keys.size), n_pass)],
+    sf, _ = build_sharded(orders, "o_orderkey", kind="fuse8",
+                          shard_bits=1, arity=4)
+    keys = orders.select("o_orderkey").distinct()
+    n_keys = keys.count()
+    n_pass = keys.where(
+        sf.contains_udf(spark)(F.col("o_orderkey"))).count()
+    return spark.createDataFrame([(n_keys, n_pass)],
                                  "n_keys long, n_pass long")
 
 
@@ -174,14 +172,11 @@ def q_quality_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality features (functions/text.quality_columns) are pure
     codegen expressions, so DuckDB can recompute them exactly: per-lang
     sums of chars, punctuation chars, and stopword hits."""
-    from fastfilter_spark.functions.text import (
-        quality_columns, stopword_hits)
+    from fastfilter_spark.functions.text import punct_chars, stopword_hits
     docs = _t(spark, sf_dir, "documents")
-    q = quality_columns(F.col("text"))
-    n_punct = (F.length("text") - F.length(
-        F.regexp_replace(F.col("text"), r"[^A-Za-z0-9\s]", ""))).cast("long")
-    return (docs.select("lang", q["n_chars"].alias("_c"),
-                        n_punct.alias("_p"),
+    return (docs.select("lang",
+                        F.length("text").cast("long").alias("_c"),
+                        punct_chars(F.col("text")).alias("_p"),
                         stopword_hits(F.col("text")).alias("_s"))
             .groupBy("lang")
             .agg(F.sum("_c").alias("sum_chars"),
@@ -496,10 +491,9 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id").alias("id_a"),
         (F.col("doc_id") + _PLANT_OFFSET).alias("id_b"))
     scored = verify_jaccard(cand, docs.unionAll(near))
-    n_pairs = scored.count()
-    n_above = scored.where(F.col("jaccard") >= 0.5).count()
-    return spark.createDataFrame([(n_pairs, n_above)],
-                                 "n_pairs long, n_above long")
+    return scored.agg(
+        F.count("*").alias("n_pairs"),
+        F.sum((F.col("jaccard") >= 0.5).cast("long")).alias("n_above"))
 
 
 def q_pipeline_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:

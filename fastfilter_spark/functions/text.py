@@ -46,6 +46,14 @@ def bpe_ish_token_count(col: Column) -> Column:
 _STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "for", "with", "on")
 
 
+def punct_chars(text_col: Column) -> Column:
+    """Count of punctuation chars — neither alnum nor whitespace
+    (codegen-able; the integer numerator of quality_columns'
+    punct_ratio)."""
+    return (F.length(text_col) - F.length(
+        F.regexp_replace(text_col, r"[^A-Za-z0-9\s]", ""))).cast("long")
+
+
 def stopword_hits(text_col: Column) -> Column:
     """Count of stopword tokens (codegen-able; the integer numerator of
     quality_columns' stopword_ratio)."""
@@ -63,9 +71,7 @@ def quality_columns(text_col: Column) -> dict[str, Column]:
     """
     n_chars = F.length(text_col).cast("long")
     n_tokens = token_count(text_col)
-    # punctuation chars = chars that are neither alnum nor whitespace
-    n_punct = (F.length(text_col) -
-               F.length(F.regexp_replace(text_col, r"[^A-Za-z0-9\s]", "")))
+    n_punct = punct_chars(text_col)
     stop_hits = stopword_hits(text_col)
     mean_token_len = F.when(n_tokens > 0,
                             (n_chars - (n_tokens - 1)) / n_tokens).otherwise(0.0)

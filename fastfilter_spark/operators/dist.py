@@ -337,6 +337,17 @@ class ShardedFilter:
         return self.size_in_bytes() * 8.0 / max(1, n_keys)
 
 
+def _resolve_shard_bits(df: DataFrame, key_col: str,
+                        shard_bits: int | None,
+                        target_keys_per_shard: int) -> int:
+    """Explicit shard_bits, or sized from an approx-distinct scan."""
+    if shard_bits is not None:
+        return shard_bits
+    approx = df.select(F.approx_count_distinct(key_col).alias("n")) \
+               .collect()[0]["n"]
+    return choose_shard_bits(approx, target_keys_per_shard)
+
+
 def build_sharded_table(
     df: DataFrame,
     key_col: str,
@@ -380,10 +391,8 @@ def build_sharded_table(
         raise ValueError(f"unknown filter kind: {kind}")
     if arity != 3 and not kind.startswith("fuse"):
         raise ValueError("arity applies to fuse kinds only")
-    if shard_bits is None:
-        approx = df.select(F.approx_count_distinct(key_col).alias("n")) \
-                   .collect()[0]["n"]
-        shard_bits = choose_shard_bits(approx, target_keys_per_shard)
+    shard_bits = _resolve_shard_bits(df, key_col, shard_bits,
+                                     target_keys_per_shard)
     num_shards = 1 << shard_bits
 
     keyed = keys_with_shard(df, key_col, shard_bits)
@@ -482,10 +491,8 @@ def build_sharded(
     instead (same build plan, no driver materialization).
     """
     spark = df.sparkSession
-    if shard_bits is None:
-        approx = df.select(F.approx_count_distinct(key_col).alias("n")) \
-                   .collect()[0]["n"]
-        shard_bits = choose_shard_bits(approx, target_keys_per_shard)
+    shard_bits = _resolve_shard_bits(df, key_col, shard_bits,
+                                     target_keys_per_shard)
     num_shards = 1 << shard_bits
     table = build_sharded_table(
         df, key_col, kind=kind, shard_bits=shard_bits,
