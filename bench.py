@@ -170,8 +170,16 @@ def main() -> None:
                    SCALING_N_KEYS=os.environ.get("SCALING_N_KEYS",
                                                  "40000000"),
                    SCALING_RUNS=os.environ.get("SCALING_RUNS", "4"))
+        # wall-clock budget: the north-rule pair (2 -> 8) runs first so a
+        # tight harness timeout still captures it; level 32 only runs
+        # with remaining budget.  Partial results are emitted as-is.
+        budget = float(os.environ.get("SPARK_GRAFT_SCALING_BUDGET_S",
+                                      "300"))
+        t_scale0 = time.perf_counter()
         levels = {}
         for c in (2, 8, 32):
+            if c == 32 and time.perf_counter() - t_scale0 > budget:
+                break
             out = subprocess.run(
                 [sys.executable, script, "--level", str(c)],
                 capture_output=True, text=True, env=env, cwd=_REPO)
@@ -179,28 +187,30 @@ def main() -> None:
                      if ln.startswith("{")]
             if lines:
                 levels[c] = json.loads(lines[-1])
-        if len(levels) == 3:
-            def eff(metric, lo, hi):
-                return round((levels[hi][metric] / levels[lo][metric])
-                             / (hi / lo), 3)
+
+        def eff(metric, lo, hi):
+            return round((levels[hi][metric] / levels[lo][metric])
+                         / (hi / lo), 3)
+        if levels:
             scaling = {
                 "job": "sharded fuse8 build+probe, "
-                       f"{levels[2]['n_keys']} url keys",
-                "local2_build_keys_per_sec": levels[2]["build_keys_per_sec"],
-                "local8_build_keys_per_sec": levels[8]["build_keys_per_sec"],
-                "local32_build_keys_per_sec": levels[32]["build_keys_per_sec"],
-                "local2_probe_keys_per_sec": levels[2]["probe_keys_per_sec"],
-                "local8_probe_keys_per_sec": levels[8]["probe_keys_per_sec"],
-                "local32_probe_keys_per_sec": levels[32]["probe_keys_per_sec"],
+                       f"{next(iter(levels.values()))['n_keys']} url keys",
                 "steal_cpu_s_during_best_builds": {
                     str(c): levels[c]["steal_cpu_s_during_best_build"]
-                    for c in (2, 8, 32)},
-                "build_efficiency_2_to_8": eff("build_keys_per_sec", 2, 8),
-                "probe_efficiency_2_to_8": eff("probe_keys_per_sec", 2, 8),
-                "build_efficiency_8_to_32": eff("build_keys_per_sec", 8, 32),
-                "probe_efficiency_8_to_32": eff("probe_keys_per_sec", 8, 32),
+                    for c in levels},
                 "north_rule_pair": "local[2] -> local[8] (N -> 4N)",
             }
+            for c in levels:
+                scaling[f"local{c}_build_keys_per_sec"] = \
+                    levels[c]["build_keys_per_sec"]
+                scaling[f"local{c}_probe_keys_per_sec"] = \
+                    levels[c]["probe_keys_per_sec"]
+            for lo, hi in ((2, 8), (8, 32)):
+                if lo in levels and hi in levels:
+                    scaling[f"build_efficiency_{lo}_to_{hi}"] = \
+                        eff("build_keys_per_sec", lo, hi)
+                    scaling[f"probe_efficiency_{lo}_to_{hi}"] = \
+                        eff("probe_keys_per_sec", lo, hi)
 
     print(json.dumps({
         "metric": "fuse8 construction+probe over url keys (headline) "
