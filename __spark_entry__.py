@@ -389,6 +389,27 @@ def _quantile_rank_oracle() -> str:
         "(CAST(90 AS INT))) AS t(q_pct) ORDER BY q_pct")
 
 
+def q_theta_intersection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theta/KMV set-operation sketch: |distinct(lineitem keys) ∩
+    distinct(order keys)| estimated from two INDEPENDENT scans (no join,
+    no cross shuffle) vs the exact SQL intersection; bound 5/sqrt(k-2)
+    (KMV relative error, Beyer et al. 2007; here the intersection
+    equals the union so no Jaccard inflation applies)."""
+    import math
+
+    from fastfilter_spark.operators.sketch_agg import theta_intersection
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    k = 4096
+    est = theta_intersection(li, "l_orderkey", orders, "o_orderkey", k=k)
+    exact = li.join(orders, li["l_orderkey"] == orders["o_orderkey"],
+                    "left_semi").select(
+        F.count_distinct("l_orderkey")).first()[0]
+    ok = int(abs(est - exact) / exact <= 5 / math.sqrt(k - 2))
+    return spark.createDataFrame([(int(exact), ok)],
+                                 "n_exact long, within_bound int")
+
+
 def q_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Count-min over the top-5 heavy hitters: est >= true (structural
     guarantee) and est <= true + ceil(e/width * N) (Cormode-Muthukrishnan
@@ -649,6 +670,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kll_quantiles": q_kll_quantiles,
         "tdigest_quantiles": q_tdigest_quantiles,
         "cms_heavy_hitters": q_cms_heavy_hitters,
+        "theta_intersection": q_theta_intersection,
         # relational demos + skew handling
         "pricing_summary": q_pricing_summary,
         "salted_agg": q_salted_agg,
@@ -782,6 +804,10 @@ def oracle_sql() -> dict[str, str]:
             "CAST(1 AS INT) AS overcount_ok, CAST(1 AS INT) AS bound_ok "
             "FROM lineitem GROUP BY l_suppkey "
             "ORDER BY true_count DESC, l_suppkey LIMIT 5"),
+        "theta_intersection": (
+            "SELECT count(DISTINCT l_orderkey) AS n_exact, "
+            "CAST(1 AS INT) AS within_bound FROM lineitem "
+            "WHERE l_orderkey IN (SELECT o_orderkey FROM orders)"),
         "minhash_near_dups": (
             "SELECT CAST(15 AS BIGINT) AS n_planted, "
             "CAST(15 AS BIGINT) AS n_recovered"),

@@ -522,9 +522,88 @@ class TDigest:
         return cls(delta, means, weights, mn, mx)
 
 
+class ThetaKMV:
+    """Theta sketch, k-minimum-values flavor (Beyer et al. 2007; the
+    Apache DataSketches theta family): keep the k smallest distinct
+    64-bit hashes; theta = the k-th smallest / 2^64 once full.
+
+    What it adds over HLL: SET OPERATIONS.  Distinct-count estimate
+    (k-1)/theta like HLL, but the retained sample also supports
+    intersection/difference estimates across sketches — "how many urls
+    overlap between two crawls" — which HLL cannot answer.  Union-merge
+    is associative/commutative (concat distinct, trim to k), relative
+    error ~1/sqrt(k-2) on the union and |A∩B|-scaled on intersections.
+    """
+
+    MAGIC = b"TKV1"
+
+    def __init__(self, k: int = 4096, values: np.ndarray | None = None):
+        if k < 8:
+            raise ValueError("k must be >= 8")
+        self.k = k
+        self.values = (np.empty(0, dtype=np.uint64)
+                       if values is None else values)  # sorted, distinct
+
+    @property
+    def theta(self) -> float:
+        """Sampling threshold in (0, 1]; hashes < theta*2^64 are kept."""
+        if self.values.size < self.k:
+            return 1.0
+        return float(self.values[self.k - 1]) / 2.0 ** 64
+
+    def update(self, values: np.ndarray) -> "ThetaKMV":
+        h = _hash_values(values)
+        self.values = np.unique(np.concatenate([self.values, h]))[:self.k]
+        return self
+
+    def merge(self, other: "ThetaKMV") -> "ThetaKMV":
+        if other.k != self.k:
+            raise ValueError("ThetaKMV k mismatch")
+        vals = np.unique(np.concatenate([self.values, other.values]))[:self.k]
+        return ThetaKMV(self.k, vals)
+
+    def estimate(self) -> float:
+        if self.values.size < self.k:
+            return float(self.values.size)
+        return (self.k - 1) / self.theta
+
+    def intersect_estimate(self, other: "ThetaKMV") -> float:
+        """|A ∩ B| estimate: common retained hashes below the SMALLER
+        theta, scaled by it (the standard theta-intersection rule).
+        The cut is the k-th hash VALUE (exact uint64), not a float
+        reconstruction — float64 cannot even represent 2^64-1."""
+        if other.k != self.k:
+            raise ValueError("ThetaKMV k mismatch")
+        full = np.uint64(0xFFFFFFFFFFFFFFFF)
+
+        def cutval(s: "ThetaKMV") -> np.uint64:
+            return s.values[s.k - 1] if s.values.size >= s.k else full
+
+        cut = min(cutval(self), cutval(other))
+        if cut == full:  # neither side sampled: counts are exact
+            return float(np.intersect1d(self.values, other.values,
+                                        assume_unique=True).size)
+        a = self.values[self.values < cut]
+        b = other.values[other.values < cut]
+        common = np.intersect1d(a, b, assume_unique=True).size
+        return common / (float(cut) / 2.0 ** 64)
+
+    def to_bytes(self) -> bytes:
+        return (self.MAGIC + struct.pack("<IQ", self.k, self.values.size)
+                + self.values.astype("<u8").tobytes())
+
+    @classmethod
+    def from_bytes(cls, buf: bytes) -> "ThetaKMV":
+        assert buf[:4] == cls.MAGIC
+        k, n = struct.unpack_from("<IQ", buf, 4)
+        vals = np.frombuffer(buf, dtype="<u8", count=n, offset=16) \
+            .astype(np.uint64)
+        return cls(k, vals)
+
+
 SKETCH_TYPES = {
     b"HLL1": HyperLogLog, b"CMS1": CountMin, b"BLM1": Bloom,
-    b"KLL1": KLL, b"TDG1": TDigest,
+    b"KLL1": KLL, b"TDG1": TDigest, b"TKV1": ThetaKMV,
 }
 
 

@@ -29,7 +29,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, functions as F
 
 from fastfilter_spark.functions.sketches import (
-    Bloom, CountMin, HyperLogLog, KLL, TDigest, sketch_from_bytes,
+    Bloom, CountMin, HyperLogLog, KLL, TDigest, ThetaKMV, sketch_from_bytes,
 )
 
 _BLOB_SCHEMA = "sketch binary"
@@ -132,6 +132,37 @@ def tdigest_quantiles(df: DataFrame, col: str, qs: list[float],
     sk = sketch_column(df.select(F.col(col).cast("double").alias(col)),
                        col, lambda: TDigest(delta), as_float=True)
     return [sk.quantile(q) for q in qs]
+
+
+def _keyed_long(df: DataFrame, col: str,
+                hash_strings_col: bool | None) -> DataFrame:
+    dtype = dict(df.dtypes)[col]
+    if hash_strings_col is None:
+        hash_strings_col = dtype in ("string", "binary")
+    return (df.select(F.xxhash64(F.col(col)).alias(col)) if hash_strings_col
+            else df.select(F.col(col).cast("long").alias(col)))
+
+
+def theta_sketch(df: DataFrame, col: str, k: int = 4096,
+                 hash_strings_col: bool | None = None) -> ThetaKMV:
+    """Theta/KMV sketch of ``df[col]`` — distinct counting PLUS set
+    operations across sketches (see ThetaKMV).  Same partials + tree
+    merge plan as every other sketch here."""
+    return sketch_column(_keyed_long(df, col, hash_strings_col), col,
+                         lambda: ThetaKMV(k))
+
+
+def theta_intersection(df_a: DataFrame, col_a: str,
+                       df_b: DataFrame, col_b: str,
+                       k: int = 4096) -> float:
+    """|distinct(a) ∩ distinct(b)| estimate from two independent scans —
+    neither side is ever joined or shuffled against the other, which is
+    the whole point at 10^12 x 10^12 rows (an exact answer would be a
+    full distinct-join).  Hash both sides the SAME way (cast long; use
+    identically-typed key columns)."""
+    sa = theta_sketch(df_a, col_a, k, hash_strings_col=False)
+    sb = theta_sketch(df_b, col_b, k, hash_strings_col=False)
+    return sa.intersect_estimate(sb)
 
 
 def bloom_contains_udf(bloom: Bloom, spark=None,

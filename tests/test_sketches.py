@@ -192,3 +192,58 @@ def test_spark_cms_counts(spark, lineitem):
     true = np.array([exact[k] for k in keys])
     assert np.all(est >= true)
     assert np.mean(est - true <= (np.e / 4096) * cms.total) > 0.99
+
+
+# -- ThetaKMV ----------------------------------------------------------------
+
+def test_theta_estimate_and_bounds():
+    from fastfilter_spark.functions.sketches import ThetaKMV
+    for n in (1000, 50_000, 400_000):
+        vals = (np.arange(n, dtype=np.int64) * 2654435761) ^ 77
+        sk = ThetaKMV(k=4096).update(vals)
+        err = abs(sk.estimate() - n) / n
+        assert err < 5 / np.sqrt(4096 - 2), (n, err)
+    rt = sketch_from_bytes(sk.to_bytes())
+    assert rt.estimate() == sk.estimate()
+
+
+def test_theta_merge_partition_orders():
+    from fastfilter_spark.functions.sketches import ThetaKMV
+    vals = RNG.integers(0, 1 << 62, 120_000, dtype=np.int64)
+    chunks = np.array_split(vals, 6)
+    ref = ThetaKMV(k=2048).update(vals)
+    for order in ([0, 1, 2, 3, 4, 5], [5, 2, 0, 4, 1, 3]):
+        acc = ThetaKMV(k=2048).update(chunks[order[0]])
+        for i in order[1:]:
+            acc = acc.merge(ThetaKMV(k=2048).update(chunks[i]))
+        # the k min hashes are a set property -> byte-identical result
+        assert acc.to_bytes() == ref.to_bytes(), order
+
+
+def test_theta_intersection_estimate():
+    from fastfilter_spark.functions.sketches import ThetaKMV
+    a = np.arange(0, 100_000, dtype=np.int64)
+    b = np.arange(50_000, 150_000, dtype=np.int64)
+    sa = ThetaKMV(k=4096).update(a)
+    sb = ThetaKMV(k=4096).update(b)
+    est = sa.intersect_estimate(sb)
+    assert abs(est - 50_000) / 50_000 < 0.10, est
+    # disjoint sets: near-zero
+    sc = ThetaKMV(k=4096).update(np.arange(10**6, 10**6 + 100_000,
+                                           dtype=np.int64))
+    assert sa.intersect_estimate(sc) / 100_000 < 0.01
+
+
+def test_spark_theta_vs_exact(spark, lineitem):
+    from fastfilter_spark.operators.sketch_agg import (
+        theta_intersection, theta_sketch)
+    exact = lineitem.select("l_orderkey").distinct().count()
+    sk = theta_sketch(lineitem, "l_orderkey", k=4096)
+    assert abs(sk.estimate() - exact) / exact < 0.08
+    # intersection with orders' keys == lineitem's own distinct keys
+    orders = spark.read.parquet(
+        f"{spark.conf.get('spark.test.sfdir', '/root/testdata/sf0.001')}"
+        "/orders.parquet")
+    est = theta_intersection(lineitem, "l_orderkey", orders, "o_orderkey",
+                             k=4096)
+    assert abs(est - exact) / exact < 0.08
