@@ -177,16 +177,29 @@ def main() -> None:
                                       "300"))
         t_scale0 = time.perf_counter()
         levels = {}
-        for c in (2, 8, 32):
-            if c == 32 and time.perf_counter() - t_scale0 > budget:
-                break
+
+        def run_level(c):
             out = subprocess.run(
                 [sys.executable, script, "--level", str(c)],
                 capture_output=True, text=True, env=env, cwd=_REPO)
             lines = [ln for ln in out.stdout.splitlines()
                      if ln.startswith("{")]
-            if lines:
-                levels[c] = json.loads(lines[-1])
+            return json.loads(lines[-1]) if lines else None
+
+        for c in (2, 8, 32):
+            if c == 32 and time.perf_counter() - t_scale0 > budget:
+                break
+            r = run_level(c)
+            # one retry if the best build was steal-contaminated and
+            # budget remains — a hypervisor storm during a single level
+            # otherwise poisons the recorded efficiency for the round
+            if (r and r["steal_cpu_s_during_best_build"] > 5
+                    and time.perf_counter() - t_scale0 < budget * 0.7):
+                r2 = run_level(c)
+                if r2 and r2["build_s"] < r["build_s"]:
+                    r = r2
+            if r:
+                levels[c] = r
 
         def eff(metric, lo, hi):
             return round((levels[hi][metric] / levels[lo][metric])
