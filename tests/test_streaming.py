@@ -72,20 +72,12 @@ def test_incremental_no_driver_payload_collect(spark, tmp_path):
     maint = IncrementalFilterMaintainer(base, key_col="value",
                                         kind="fuse8", shard_bits=8)
 
+    from tests.conftest import spy_collect
     collected_schemas = []
-    orig_collect = DataFrame.collect
-
-    def spying(self):
-        collected_schemas.append([f.name for f in self.schema.fields])
-        return orig_collect(self)
-
-    DataFrame.collect = spying
-    try:
+    with spy_collect(collected_schemas):
         for lo, hi in ((0, 2000), (2000, 3000)):
             _write_batch(spark, src, lo, hi)
             _run_once(spark, src, ckpt, maint.process_batch)
-    finally:
-        DataFrame.collect = orig_collect
 
     assert all("payload" not in cols for cols in collected_schemas), \
         collected_schemas

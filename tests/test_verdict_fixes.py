@@ -42,17 +42,10 @@ def test_build_sharded_table_never_collects(spark, sf_dir):
         build_sharded_table, probe_via_join)
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
 
-    orig_collect = DataFrame.collect
-
-    def poisoned(self):
-        raise AssertionError("driver collect during build_sharded_table")
-
-    DataFrame.collect = poisoned
-    try:
+    from tests.conftest import poison_collect
+    with poison_collect("driver collect during build_sharded_table"):
         table = build_sharded_table(li, "l_orderkey", kind="fuse8",
                                     shard_bits=6)
-    finally:
-        DataFrame.collect = orig_collect
 
     keys = li.select("l_orderkey").distinct()
     probed = probe_via_join(keys, "l_orderkey", table)
