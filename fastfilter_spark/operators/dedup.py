@@ -407,7 +407,9 @@ def embedding_near_dup(df: DataFrame, id_col: str = "vec_id",
                        threshold: float = 0.95,
                        n_planes: int = 12,
                        n_tables: int = 1,
-                       plane_seed: int = 0xC0DE) -> DataFrame:
+                       plane_seed: int = 0xC0DE,
+                       max_bucket: int | None = 256,
+                       count_dropped: bool = False) -> DataFrame:
     """Pairs with cosine >= threshold via random-hyperplane LSH buckets.
 
     Sign-bit sketch of ``n_planes`` random hyperplanes -> bucket; exact
@@ -419,6 +421,12 @@ def embedding_near_dup(df: DataFrame, id_col: str = "vec_id",
     ~0.98 at T=12 for cosine-0.95 pairs.  Candidate volume and shuffle
     scale linearly with T (each row emits T bucket rows); exact dups
     (cosine 1.0) collide in EVERY table, so T=1 suffices for them.
+
+    ``max_bucket`` caps per-(table, bucket) group size before the
+    verify (whose cost is O(B^2) in memory and time) — the same guard
+    ``lsh_candidates`` applies; ``None`` disables.  ``count_dropped``
+    additionally logs how many rows the cap discarded (costs one extra
+    job).
     """
     if n_tables < 1:
         raise ValueError("n_tables must be >= 1")
@@ -449,6 +457,28 @@ def embedding_near_dup(df: DataFrame, id_col: str = "vec_id",
         bucket_fn(dim),
         schema=f"{id_col} long, {vec_col} array<float>, "
                "table int, bucket long")
+    # quadratic-blowup guard (mirrors lsh_candidates): verify stacks a
+    # whole bucket and computes M @ M.T, so one pathological bucket —
+    # e.g. millions of all-zero/default embeddings landing in the
+    # all-sign-bits-off bucket — is O(B^2) memory in a single task.
+    # Drop oversized buckets before the groupBy-apply and log how many
+    # rows that discarded (those rows keep their chances in the OTHER
+    # n_tables-1 tables, whose plane sets bucket them differently).
+    if max_bucket is not None:
+        sized = bucketed.withColumn(
+            "_bsz", F.count("*").over(Window.partitionBy("table", "bucket")))
+        if count_dropped:
+            # dropped-rows accounting costs one extra job (it re-runs
+            # the bucketing UDF), so it's opt-in
+            n_dropped = sized.where(F.col("_bsz") > max_bucket).count()
+            if n_dropped:
+                import logging
+                logging.getLogger(__name__).warning(
+                    "embedding_near_dup: dropping %d bucket rows over "
+                    "max_bucket=%d (raise n_planes to split hot buckets, "
+                    "or max_bucket to widen the verify budget)",
+                    n_dropped, max_bucket)
+        bucketed = sized.where(F.col("_bsz") <= max_bucket).drop("_bsz")
 
     def verify(pdf: pd.DataFrame) -> pd.DataFrame:
         if len(pdf) < 2:

@@ -49,6 +49,7 @@ build_ms) is stored alongside the payload.
 from __future__ import annotations
 
 import math
+import os
 import time
 import uuid
 from dataclasses import dataclass
@@ -80,9 +81,21 @@ def _worker_cache_put(token: str, filters: list) -> None:
     if token in _worker_filter_cache:
         return
     while len(_worker_filter_cache) >= _WORKER_CACHE_MAX:
-        # dicts iterate in insertion order -> oldest first
+        # dicts iterate in insertion order -> least-recently-used first
+        # (_worker_cache_get re-inserts on hit)
         _worker_filter_cache.pop(next(iter(_worker_filter_cache)))
     _worker_filter_cache[token] = filters
+
+
+def _worker_cache_get(token: str):
+    """LRU read: a hit re-inserts the key so eviction order tracks
+    recency of USE, not insertion — with >max filters in rotation the
+    hottest one must not be evicted while stale ones persist (each
+    re-deserialization can be GBs at high shard_bits)."""
+    filters = _worker_filter_cache.pop(token, None)
+    if filters is not None:
+        _worker_filter_cache[token] = filters
+    return filters
 
 # One row per shard; `payload` is the reference wire format (to_bytes).
 FILTER_TABLE_SCHEMA = StructType([
@@ -96,6 +109,68 @@ FILTER_TABLE_SCHEMA = StructType([
     StructField("build_ms", DoubleType(), False),
     StructField("payload", BinaryType(), False),
 ])
+
+
+def _input_fingerprint(df: DataFrame) -> str | None:
+    """Cheap dataset identity for checkpoint resume: sha256 over the
+    scan's file listing (path + size + mtime where the file is locally
+    stat-able).  Metadata-only — no Spark job runs.  Returns ``None``
+    when the plan has no file scan (in-memory input) or listing fails;
+    callers then fall back to the authoritative per-shard recount.
+
+    Paths are content-addressed in practice (parquet part files carry
+    writer UUIDs), so a matching listing means the same dataset unless
+    someone rewrote a file IN PLACE with the same name — stat info
+    catches that for local files; for remote filesystems a same-name
+    in-place rewrite is the one case this fast path cannot see, which
+    is why validate_checkpoint's recount remains the fallback and the
+    override story.
+
+    The hash also covers the NORMALIZED analyzed plan (expression ids
+    stripped — they vary per session): two different queries over the
+    same files (e.g. a filtered subset vs the full table) are different
+    datasets and must not share a fingerprint."""
+    import hashlib
+    import re
+    try:
+        files = df.inputFiles()
+    except Exception:
+        return None
+    if not files:
+        return None
+    h = hashlib.sha256()
+    try:
+        plan = df._jdf.queryExecution().analyzed().toString()
+    except Exception:
+        return None
+    h.update(re.sub(r"#\d+", "", plan).encode())
+    for f in sorted(files):
+        h.update(f.encode())
+        local = f[7:] if f.startswith("file://") else (
+            f[5:] if f.startswith("file:") else f)
+        try:
+            st = os.stat(local)
+            h.update(f",{st.st_size},{st.st_mtime_ns};".encode())
+        except OSError:
+            h.update(b";")
+    return h.hexdigest()
+
+
+def _fingerprint_path(checkpoint_dir: str) -> str:
+    local = checkpoint_dir[7:] if checkpoint_dir.startswith("file://") else (
+        checkpoint_dir[5:] if checkpoint_dir.startswith("file:")
+        else checkpoint_dir)
+    # leading underscore: Spark's parquet reader treats _-prefixed files
+    # as hidden, so the sidecar never pollutes the filter table read
+    return os.path.join(local, "_input_fingerprint")
+
+
+def _read_fingerprint(path: str) -> str | None:
+    try:
+        with open(path) as f:
+            return f.read().strip() or None
+    except OSError:
+        return None
 
 
 def shard_of_hash(keys_u64: np.ndarray, shard_bits: int) -> np.ndarray:
@@ -264,7 +339,7 @@ class ShardedFilter:
 
         @F.pandas_udf(BooleanType())
         def contains(s: pd.Series) -> pd.Series:
-            filters = _worker_filter_cache.get(cache_key)
+            filters = _worker_cache_get(cache_key)
             if filters is None:
                 filters = [filter_from_bytes(p, kind, view=True)
                            for p in get_payloads()]
@@ -306,7 +381,7 @@ class ShardedFilter:
             get_payloads = lambda: payloads  # noqa: E731
 
         def probe_batches(batches):
-            filters = _worker_filter_cache.get(cache_key)
+            filters = _worker_cache_get(cache_key)
             if filters is None:
                 filters = [filter_from_bytes(p, kind, view=True)
                            for p in get_payloads()]
@@ -391,6 +466,10 @@ def build_sharded_table(
         raise ValueError(f"unknown filter kind: {kind}")
     if arity != 3 and not kind.startswith("fuse"):
         raise ValueError("arity applies to fuse kinds only")
+    if arity not in (3, 4):
+        # mirror FuseFilter.build — arity=5 must not pass the driver
+        # check only to fail minutes later inside a shard task
+        raise ValueError(f"arity must be 3 or 4, got {arity}")
     shard_bits = _resolve_shard_bits(df, key_col, shard_bits,
                                      target_keys_per_shard)
     num_shards = 1 << shard_bits
@@ -437,7 +516,18 @@ def build_sharded_table(
             # input-identity check: a resume against a CHANGED/GROWN input
             # would silently reuse stale shard payloads — new keys routed
             # to a 'done' shard would get false negatives, breaking the
-            # zero-false-negative guarantee.  Stored input_rows is the
+            # zero-false-negative guarantee.
+            #
+            # FAST PATH first: a dataset fingerprint (file listing hash)
+            # persisted at first build.  Matching it is metadata-only —
+            # no job, no O(input) scan per resume; only a missing or
+            # mismatching fingerprint falls through to the authoritative
+            # per-shard recount below.
+            fp_stored = _read_fingerprint(_fingerprint_path(checkpoint_dir))
+            if fp_stored is not None and fp_stored == _input_fingerprint(df):
+                validate_checkpoint = False
+        if done and validate_checkpoint:
+            # Stored input_rows is the
             # exact pre-dedup row count the kernel saw, so recount the
             # current input per shard (map-side partial agg; only key+
             # shard columns scan) and require equality for done shards.
@@ -464,6 +554,17 @@ def build_sharded_table(
         built = build_filter_rows(keyed, kind, num_shards, arity=arity)
         if checkpoint_dir is not None:
             built.write.mode("append").parquet(checkpoint_dir)
+            # persist the dataset fingerprint once so later resumes can
+            # validate input identity without an O(input) recount job
+            fp_path = _fingerprint_path(checkpoint_dir)
+            if _read_fingerprint(fp_path) is None:
+                fp = _input_fingerprint(df)
+                if fp is not None:
+                    try:
+                        with open(fp_path, "w") as f:
+                            f.write(fp)
+                    except OSError:
+                        pass  # non-local checkpoint fs: recount fallback
             table = spark.read.schema(FILTER_TABLE_SCHEMA).parquet(checkpoint_dir)
         else:
             table = built
@@ -625,7 +726,8 @@ def build_filter_rows(keyed: DataFrame, kind: str,
 
 
 def semi_join_prune(fact: DataFrame, fact_key: str, sf: ShardedFilter,
-                    dim_keys: DataFrame, dim_key: str) -> DataFrame:
+                    dim_keys: DataFrame, dim_key: str,
+                    broadcast_dim: bool = True) -> DataFrame:
     """Exact left-semi join accelerated by a filter pre-probe.
 
     The contains() probe (no false negatives) discards ~all non-matching
@@ -641,4 +743,9 @@ def semi_join_prune(fact: DataFrame, fact_key: str, sf: ShardedFilter,
     # bind the dim side explicitly: an unbound F.col(dim_key) is ambiguous
     # whenever fact has a same-named column (incl. fact_key == dim_key)
     dim = dim_keys.select(dim_key).distinct()
+    if broadcast_dim:
+        # explicit hint, not autoBroadcastJoinThreshold: a dim just past
+        # the threshold would otherwise silently become a full shuffle
+        # of the (huge) pruned fact side
+        dim = F.broadcast(dim)
     return pruned.join(dim, pruned[fact_key] == dim[dim_key], "left_semi")

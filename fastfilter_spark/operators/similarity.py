@@ -59,8 +59,16 @@ class IVFIndex:
     def fit(cls, df: DataFrame, vec_col: str = "embedding",
             ncells: int = 16, sample_rows: int = 10_000,
             iters: int = 10, seed: int = 7) -> "IVFIndex":
+        # hash-ordered take, NOT limit(): limit takes the FIRST rows, so
+        # an input sorted/clustered by label or time would show k-means
+        # one region only and recall would degrade silently.  Ordering
+        # by a seeded xxhash64 of the vector is a deterministic uniform
+        # sample (TakeOrderedAndProject: per-partition top-n + merge —
+        # no full sort/shuffle of the table).
         sample = np.stack([np.asarray(r[0]) for r in
-                           df.select(vec_col).limit(sample_rows).collect()]
+                           df.select(vec_col)
+                           .orderBy(F.xxhash64(F.col(vec_col), F.lit(seed)))
+                           .limit(sample_rows).collect()]
                           ).astype(np.float64)
         sample /= np.maximum(np.linalg.norm(sample, axis=1, keepdims=True), 1e-12)
         rng = np.random.default_rng(seed)

@@ -96,6 +96,71 @@ def sketch_column(df: DataFrame, col: str, factory: Callable[[], object],
     return acc
 
 
+_NAMED_BLOB_SCHEMA = "name string, sketch binary"
+
+
+def _multi_partial_map(factories: dict, colname: str, as_float: bool):
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        sks = None
+        for pdf in batches:
+            vals = pdf[colname].dropna().to_numpy()
+            if vals.size == 0:
+                continue
+            if sks is None:
+                sks = {n: f() for n, f in factories.items()}
+            arr = (vals.astype(np.float64) if as_float
+                   else vals.astype(np.int64))
+            for sk in sks.values():
+                sk.update(arr)
+        if sks is not None:
+            yield pd.DataFrame({"name": list(sks),
+                                "sketch": [s.to_bytes()
+                                           for s in sks.values()]})
+    return fn
+
+
+def _named_merge_map(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    accs: dict = {}
+    for pdf in batches:
+        for name, blob in zip(pdf["name"], pdf["sketch"]):
+            sk = sketch_from_bytes(bytes(blob))
+            accs[name] = sk if name not in accs else accs[name].merge(sk)
+    if accs:
+        yield pd.DataFrame({"name": list(accs),
+                            "sketch": [s.to_bytes() for s in accs.values()]})
+
+
+def multi_sketch_column(df: DataFrame, col: str,
+                        factories: dict[str, Callable[[], object]],
+                        as_float: bool = False,
+                        tree_fanout: int = 64) -> dict[str, object]:
+    """One-pass multi-sketch aggregation: each task folds its rows into
+    one sketch PER factory and emits (name, blob) rows; an optional tree
+    level bounds the driver's merge fan-in.  Same physical shape as
+    ``sketch_column`` (partials + tree merge; the driver only ever sees
+    KB wire blobs, never rows) but scans the input once for all
+    sketches — the building block for streaming micro-batch aggregation
+    where the batch should not be re-scanned per sketch.
+
+    Returns {name: merged sketch} for names that saw data; names whose
+    input was empty are absent (callers keep their running state).
+    """
+    partials = df.select(F.col(col).alias(col)).dropna(subset=[col]) \
+        .mapInPandas(_multi_partial_map(factories, col, as_float),
+                     schema=_NAMED_BLOB_SCHEMA)
+    n_parts = df.sparkSession.sparkContext.defaultParallelism
+    if n_parts > tree_fanout:
+        buckets = max(1, math.ceil(n_parts / tree_fanout))
+        partials = partials.repartition(buckets) \
+            .mapInPandas(_named_merge_map, schema=_NAMED_BLOB_SCHEMA)
+    merged: dict[str, object] = {}
+    for r in partials.collect():
+        sk = sketch_from_bytes(bytes(r["sketch"]))
+        name = r["name"]
+        merged[name] = sk if name not in merged else merged[name].merge(sk)
+    return merged
+
+
 # -- convenience aggregations ------------------------------------------------
 
 def hll_count_distinct(df: DataFrame, col: str, p: int = 12,
@@ -155,10 +220,28 @@ def theta_intersection(df_a: DataFrame, col_a: str,
     """|distinct(a) ∩ distinct(b)| estimate from two independent scans —
     neither side is ever joined or shuffled against the other, which is
     the whole point at 10^12 x 10^12 rows (an exact answer would be a
-    full distinct-join).  Hash both sides the SAME way (cast long; use
-    identically-typed key columns)."""
-    sa = theta_sketch(df_a, col_a, k, hash_strings_col=False)
-    sb = theta_sketch(df_b, col_b, k, hash_strings_col=False)
+    full distinct-join).
+
+    Both sides MUST be keyed identically or no hash ever collides: the
+    column types are validated here (a string side silently cast('long')
+    would be all-null -> empty sketch -> silently-wrong 0/NaN estimate).
+    Two string/binary columns are both hashed with JVM xxhash64; two
+    integer-castable columns are both cast('long'); a mixed pair is
+    rejected (Spark's xxhash64 of a long differs from xxhash64 of its
+    string form)."""
+    ta = dict(df_a.dtypes)[col_a]
+    tb = dict(df_b.dtypes)[col_b]
+    a_str = ta in ("string", "binary")
+    b_str = tb in ("string", "binary")
+    if a_str != b_str:
+        raise ValueError(
+            f"theta_intersection key columns must be the same family: "
+            f"{col_a} is {ta} but {col_b} is {tb} — xxhash64(long) != "
+            f"xxhash64(string(long)), so a mixed pair never intersects; "
+            "cast one side first")
+    hashed = a_str  # hash both, or cast both
+    sa = theta_sketch(df_a, col_a, k, hash_strings_col=hashed)
+    sb = theta_sketch(df_b, col_b, k, hash_strings_col=hashed)
     return sa.intersect_estimate(sb)
 
 
@@ -199,7 +282,7 @@ def bloom_contains_udf(bloom: Bloom, spark=None,
 
     @F.pandas_udf("boolean")
     def contains(s: pd.Series) -> pd.Series:
-        cached = _dist._worker_filter_cache.get(token)
+        cached = _dist._worker_cache_get(token)
         if cached is None:
             cached = [Bloom.from_bytes(get_bytes())]
             _dist._worker_cache_put(token, cached)
@@ -207,8 +290,16 @@ def bloom_contains_udf(bloom: Bloom, spark=None,
         return pd.Series(cached[0].contains(vals))
 
     def probe(col):
-        col = F.xxhash64(col) if hashed_input else col.cast("long")
-        return contains(col)
+        # NULL probe keys -> False JVM-side, BEFORE the UDF (build-side
+        # dropna never inserts nulls, so "not a member" is exact).  The
+        # mask cannot live inside the UDF: one null in an Arrow int64
+        # batch degrades the whole pandas series to float64, corrupting
+        # every hash > 2^53 into false negatives.  coalesce keeps the
+        # UDF input non-null (the placeholder 0 probe is discarded by
+        # the outer when); this also covers failed long casts.
+        keyed = F.xxhash64(col) if hashed_input else col.cast("long")
+        return F.when(keyed.isNull(), F.lit(False)) \
+            .otherwise(contains(F.coalesce(keyed, F.lit(0))))
 
     return probe
 

@@ -22,7 +22,6 @@ import os
 import shutil
 from typing import Callable
 
-import numpy as np
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 from pyspark.sql.types import LongType, StructField, StructType
 
@@ -84,14 +83,25 @@ class IncrementalFilterMaintainer:
         """Log-local monotonic sequence: max existing + 1 (survives
         stream restarts with fresh checkpoints, unlike batch_id).  The
         log holds tiny per-shard rows, so the max() agg reads KBs."""
-        if not os.path.isdir(self.table_dir):
+        if not self._log_has_files():
             return 1
-        try:
-            cur = spark.read.schema(TABLE_LOG_SCHEMA) \
-                .parquet(self.table_dir).agg(F.max("seq")).first()[0]
-        except Exception:
-            return 1
+        # NO broad except here: a transient read error defaulting to
+        # seq=1 would stamp new rows BELOW the existing max, so
+        # latest-wins would serve stale shard payloads — silent false
+        # negatives.  Only a genuinely empty/missing log maps to 1;
+        # unexpected read errors propagate (retryable by the stream).
+        cur = spark.read.schema(TABLE_LOG_SCHEMA) \
+            .parquet(self.table_dir).agg(F.max("seq")).first()[0]
         return int(cur or 0) + 1
+
+    def _log_has_files(self) -> bool:
+        """True iff the filter-table log dir holds at least one parquet
+        part file (an existing-but-empty dir, e.g. mid-compact, is
+        'empty log')."""
+        if not os.path.isdir(self.table_dir):
+            return False
+        return any(name.endswith(".parquet")
+                   for name in os.listdir(self.table_dir))
 
     # -- foreachBatch entry ----------------------------------------------
 
@@ -260,12 +270,16 @@ class StreamingSketchAggregator:
         # double-count into the (add-semantics) sketches
         if batch_id <= self.last_batch_id:
             return
-        rows = batch_df.select(self.col).dropna().collect()
-        if rows:
-            vals = np.array([r[0] for r in rows],
-                            dtype=np.float64 if self.as_float else np.int64)
-            for sk in self.sketches.values():
-                sk.update(vals)
+        # distributed fold: executors compute per-task partials for all
+        # sketches in ONE scan of the micro-batch (partials + tree merge,
+        # operators/sketch_agg.multi_sketch_column); the driver receives
+        # and merges only KB wire blobs — never batch rows, so a 10^7-row
+        # micro-batch costs the driver the same as a 10^2-row one
+        from fastfilter_spark.operators.sketch_agg import multi_sketch_column
+        merged = multi_sketch_column(batch_df.select(self.col), self.col,
+                                     self.factories, as_float=self.as_float)
+        for name, sk in merged.items():
+            self.sketches[name] = self.sketches[name].merge(sk)
         self.last_batch_id = batch_id
         self._save(batch_id)
 
