@@ -209,23 +209,32 @@ def fuse_index_quad(
     segment_count_length: int,
 ):
     """4-wise binary-fuse index: h0 from the mulhi segment map, h1..h3 in
-    the next three segments with windowed XOR offsets from hash bits
-    [42:60), [21:39), [0:18).
+    the next three segments with windowed XOR offsets from a SECOND
+    murmur mix of the hash (bits [36:54), [18:36), [0:18)).
 
     The reference implements only the 3-wise hash (its arity-4 sizing
     constants, binaryfusefilter.h:196-198/214-216, are dead code); this
     is the natural general-arity extension from the binary-fuse paper
-    (Graf & Lemire 2022, §2).  The 21-bit window stride keeps the three
-    offset windows disjoint for every legal segment length (mask <=
-    2^18-1, reference cap 262144)."""
+    (Graf & Lemire 2022, §2).
+
+    Why the second mix: mulhi(h, scl) is driven by the HIGH bits of h,
+    and three disjoint 18-bit offset windows consume 54 bits — any
+    placement of them in the same 64-bit word overlaps the segment-
+    selection bits once scl is large.  Offset windows correlated with
+    the segment choice break peelability (measured: at n=5M, load 0.93,
+    windows [42:60)/[21:39)/[0:18) peel only ~22% of rows on EVERY
+    seed).  Re-mixing costs three multiply/xor ops per key and makes
+    the offsets independent of h0 for every filter size; the 3-wise map
+    never needs this because its two windows fit in the low 36 bits."""
     hashes = np.asarray(hashes, dtype=U64)
     sl = segment_length & MASK32
     mask = segment_length_mask & MASK32
     h0 = mulhi(hashes, segment_count_length)
     h0 &= MASK32
-    h1 = ((h0 + sl) & MASK32) ^ ((hashes >> 42) & mask)
-    h2 = ((h0 + 2 * sl) & MASK32) ^ ((hashes >> 21) & mask)
-    h3 = ((h0 + 3 * sl) & MASK32) ^ (hashes & mask)
+    oh = murmur64(hashes, copy=True)
+    h1 = ((h0 + sl) & MASK32) ^ ((oh >> 36) & mask)
+    h2 = ((h0 + 2 * sl) & MASK32) ^ ((oh >> 18) & mask)
+    h3 = ((h0 + 3 * sl) & MASK32) ^ (oh & mask)
     return h0, h1, h2, h3
 
 

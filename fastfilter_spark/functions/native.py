@@ -149,9 +149,11 @@ class _Kernel:
         return mixed, g0, g1, g2
 
     def fuse_prepare(self, keys: np.ndarray, seed: int, seg_len: int,
-                     seg_cnt_len: int, seg_cnt: int, n_cells: int):
+                     seg_cnt_len: int, seg_cnt: int, n_cells: int,
+                     arity: int = 3):
         """Fused segment-sorted index + cell-state accumulation; pair
-        with :meth:`peel_pre` (one fewer sweep than index+peel)."""
+        with :meth:`peel_pre` (one fewer sweep than index+peel).
+        Returns (mixed, g0..g{arity-1})."""
         n = keys.size
         keys = np.ascontiguousarray(keys, dtype=np.uint64)
         tmp = self._buf("tmp", n, np.uint64)
@@ -161,6 +163,18 @@ class _Kernel:
         g1 = self._buf("g1", n, np.int32)
         g2 = self._buf("g2", n, np.int32)
         state = self._buf("state", n_cells, np.int64)
+        if arity == 4:
+            g3 = self._buf("g3", n, np.int32)
+            self.lib.ff_fuse_prepare4(
+                _ptr(keys, _c_u64p), ctypes.c_int64(n), ctypes.c_uint64(seed),
+                ctypes.c_uint32(seg_len), ctypes.c_uint32(seg_cnt_len),
+                ctypes.c_uint32(seg_cnt), ctypes.c_int64(n_cells),
+                _ptr(tmp, _c_u64p),
+                _ptr(bucket_pos, ctypes.POINTER(ctypes.c_int64)),
+                _ptr(mixed, _c_u64p), _ptr(g0, _c_i32p), _ptr(g1, _c_i32p),
+                _ptr(g2, _c_i32p), _ptr(g3, _c_i32p),
+                _ptr(state, ctypes.POINTER(ctypes.c_int64)))
+            return mixed, g0, g1, g2, g3
         self.lib.ff_fuse_prepare(
             _ptr(keys, _c_u64p), ctypes.c_int64(n), ctypes.c_uint64(seed),
             ctypes.c_uint32(seg_len), ctypes.c_uint32(seg_cnt_len),
@@ -187,7 +201,7 @@ class _Kernel:
     # peel loop is ~+8% single-core (measured at 5M keys).
     EMIT_MIN_N = 1 << 20
 
-    def _peel_bufs(self, n: int, n_cells: int, emit: bool):
+    def _peel_bufs(self, n: int, n_cells: int, emit: bool, arity: int = 3):
         # only the arrays the chosen assign variant reads get real
         # capacity; the others stay 1-element dummies for the C ABI
         full = n if emit else 1
@@ -197,43 +211,62 @@ class _Kernel:
                 self._buf("oc0", full, np.int32),
                 self._buf("oc1", full, np.int32),
                 self._buf("oc2", full, np.int32),
+                self._buf("oc3", full if arity == 4 else 1, np.int32),
                 self._buf("ohash", full, np.uint64),
                 self._buf("queue", n_cells, np.int32))
 
-    def peel_pre(self, n_cells: int, mixed, g0, g1, g2):
+    def _peel_call(self, fn3, fn4, n_cells: int, mixed, gs, pre: bool):
+        n = gs[0].size
+        arity = len(gs)
+        emit = n >= self.EMIT_MIN_N
+        state = self._buf("state", n_cells, np.int64)
+        order, ocell, oc0, oc1, oc2, oc3, ohash, queue = \
+            self._peel_bufs(n, n_cells, emit, arity)
+        common = [ctypes.c_int64(n), ctypes.c_int64(n_cells),
+                  _ptr(mixed, _c_u64p)]
+        common += [_ptr(g, _c_i32p) for g in gs]
+        common += [_ptr(state, ctypes.POINTER(ctypes.c_int64)),
+                   ctypes.c_int32(1 if emit else 0),
+                   _ptr(order, _c_i32p), _ptr(ocell, _c_i32p),
+                   _ptr(oc0, _c_i32p), _ptr(oc1, _c_i32p),
+                   _ptr(oc2, _c_i32p)]
+        if arity == 4:
+            common.append(_ptr(oc3, _c_i32p))
+        common += [_ptr(ohash, _c_u64p), _ptr(queue, _c_i32p)]
+        np_peeled = (fn4 if arity == 4 else fn3)(*common)
+        if emit:
+            po = ("cells", ocell, oc0, oc1, oc2, ohash) if arity == 3 \
+                else ("cells4", ocell, oc0, oc1, oc2, oc3, ohash)
+        else:
+            po = ("order", order, ocell, mixed) + tuple(gs)
+        return po, int(np_peeled)
+
+    def peel_pre(self, n_cells: int, mixed, *gs):
         """Peel using the state filled by :meth:`fuse_prepare` (the
         state pool buffer is shared between the two calls).  Returns
         (peel_out, n_peeled); feed peel_out straight to :meth:`assign`.
         peel_out is a tagged tuple — for large builds it carries each
         peeled row's cells + hash (sequential assign), for small ones
-        just the peel order (lean assign over the g arrays)."""
-        n = g0.size
-        emit = n >= self.EMIT_MIN_N
-        state = self._buf("state", n_cells, np.int64)
-        order, ocell, oc0, oc1, oc2, ohash, queue = \
-            self._peel_bufs(n, n_cells, emit)
-        np_peeled = self.lib.ff_peel_pre(
-            ctypes.c_int64(n), ctypes.c_int64(n_cells),
-            _ptr(mixed, _c_u64p),
-            _ptr(g0, _c_i32p), _ptr(g1, _c_i32p), _ptr(g2, _c_i32p),
-            _ptr(state, ctypes.POINTER(ctypes.c_int64)),
-            ctypes.c_int32(1 if emit else 0),
-            _ptr(order, _c_i32p), _ptr(ocell, _c_i32p),
-            _ptr(oc0, _c_i32p), _ptr(oc1, _c_i32p), _ptr(oc2, _c_i32p),
-            _ptr(ohash, _c_u64p), _ptr(queue, _c_i32p))
-        if emit:
-            po = ("cells", ocell, oc0, oc1, oc2, ohash)
-        else:
-            po = ("order", order, ocell, mixed, g0, g1, g2)
-        return po, int(np_peeled)
+        just the peel order (lean assign over the g arrays).  Pass 3 or
+        4 g arrays; arity is inferred from the count."""
+        return self._peel_call(self.lib.ff_peel_pre, self.lib.ff_peel_pre4,
+                               n_cells, mixed, gs, pre=True)
 
     def fuse_index_pre(self, mixed: np.ndarray, seg_len: int,
-                       seg_cnt_len: int):
+                       seg_cnt_len: int, arity: int = 3):
         n = mixed.size
         mixed = np.ascontiguousarray(mixed, dtype=np.uint64)
         g0 = self._buf("g0", n, np.int32)
         g1 = self._buf("g1", n, np.int32)
         g2 = self._buf("g2", n, np.int32)
+        if arity == 4:
+            g3 = self._buf("g3", n, np.int32)
+            self.lib.ff_fuse_index_pre4(
+                _ptr(mixed, _c_u64p), ctypes.c_int64(n),
+                ctypes.c_uint32(seg_len), ctypes.c_uint32(seg_cnt_len),
+                _ptr(g0, _c_i32p), _ptr(g1, _c_i32p), _ptr(g2, _c_i32p),
+                _ptr(g3, _c_i32p))
+            return g0, g1, g2, g3
         self.lib.ff_fuse_index_pre(
             _ptr(mixed, _c_u64p), ctypes.c_int64(n),
             ctypes.c_uint32(seg_len), ctypes.c_uint32(seg_cnt_len),
@@ -290,28 +323,11 @@ class _Kernel:
 
     # ---- peel + assign ----
 
-    def peel(self, n_cells: int, mixed, g0: np.ndarray, g1: np.ndarray,
-             g2: np.ndarray):
-        """Returns (peel_out, n_peeled) — see :meth:`peel_pre`."""
-        n = g0.size
-        emit = n >= self.EMIT_MIN_N
-        state = self._buf("state", n_cells, np.int64)
-        order, ocell, oc0, oc1, oc2, ohash, queue = \
-            self._peel_bufs(n, n_cells, emit)
-        np_peeled = self.lib.ff_peel(
-            ctypes.c_int64(n), ctypes.c_int64(n_cells),
-            _ptr(mixed, _c_u64p),
-            _ptr(g0, _c_i32p), _ptr(g1, _c_i32p), _ptr(g2, _c_i32p),
-            _ptr(state, ctypes.POINTER(ctypes.c_int64)),
-            ctypes.c_int32(1 if emit else 0),
-            _ptr(order, _c_i32p), _ptr(ocell, _c_i32p),
-            _ptr(oc0, _c_i32p), _ptr(oc1, _c_i32p), _ptr(oc2, _c_i32p),
-            _ptr(ohash, _c_u64p), _ptr(queue, _c_i32p))
-        if emit:
-            po = ("cells", ocell, oc0, oc1, oc2, ohash)
-        else:
-            po = ("order", order, ocell, mixed, g0, g1, g2)
-        return po, int(np_peeled)
+    def peel(self, n_cells: int, mixed, *gs):
+        """Returns (peel_out, n_peeled) — see :meth:`peel_pre`.  Pass 3
+        or 4 g arrays; arity is inferred from the count."""
+        return self._peel_call(self.lib.ff_peel, self.lib.ff_peel4,
+                               n_cells, mixed, gs, pre=False)
 
     def assign(self, n_peeled: int, peel_out, fp: np.ndarray):
         """Reverse-order fingerprint assignment over peel() output."""
@@ -323,6 +339,21 @@ class _Kernel:
             fn(ctypes.c_int64(n_peeled), _ptr(ocell, _c_i32p),
                _ptr(oc0, _c_i32p), _ptr(oc1, _c_i32p), _ptr(oc2, _c_i32p),
                _ptr(ohash, _c_u64p), _ptr(fp, fptr))
+        elif peel_out[0] == "cells4":
+            _, ocell, oc0, oc1, oc2, oc3, ohash = peel_out
+            fn = {1: self.lib.ff_assign8_4, 2: self.lib.ff_assign16_4,
+                  4: self.lib.ff_assign32_4}[fp.itemsize]
+            fn(ctypes.c_int64(n_peeled), _ptr(ocell, _c_i32p),
+               _ptr(oc0, _c_i32p), _ptr(oc1, _c_i32p), _ptr(oc2, _c_i32p),
+               _ptr(oc3, _c_i32p), _ptr(ohash, _c_u64p), _ptr(fp, fptr))
+        elif len(peel_out) == 8:      # ("order", order, ocell, mixed, g0..g3)
+            _, order, ocell, mixed, g0, g1, g2, g3 = peel_out
+            fn = {1: self.lib.ff_assign8_g4, 2: self.lib.ff_assign16_g4,
+                  4: self.lib.ff_assign32_g4}[fp.itemsize]
+            fn(ctypes.c_int64(n_peeled), _ptr(order, _c_i32p),
+               _ptr(ocell, _c_i32p), _ptr(mixed, _c_u64p),
+               _ptr(g0, _c_i32p), _ptr(g1, _c_i32p), _ptr(g2, _c_i32p),
+               _ptr(g3, _c_i32p), _ptr(fp, fptr))
         else:
             _, order, ocell, mixed, g0, g1, g2 = peel_out
             fn = {1: self.lib.ff_assign8_g, 2: self.lib.ff_assign16_g,
@@ -335,13 +366,18 @@ class _Kernel:
     # ---- probes ----
 
     def fuse_contain(self, keys: np.ndarray, seed: int, seg_len: int,
-                     seg_cnt_len: int, fp: np.ndarray) -> np.ndarray:
+                     seg_cnt_len: int, fp: np.ndarray,
+                     arity: int = 3) -> np.ndarray:
         n = keys.size
         keys = np.ascontiguousarray(keys, dtype=np.uint64)
         fp = np.ascontiguousarray(fp)
         out = np.empty(n, dtype=np.uint8)
-        fn = {1: self.lib.ff_fuse_contain8, 2: self.lib.ff_fuse_contain16,
-              4: self.lib.ff_fuse_contain32}[fp.itemsize]
+        fn = ({1: self.lib.ff_fuse_contain8_4,
+               2: self.lib.ff_fuse_contain16_4,
+               4: self.lib.ff_fuse_contain32_4}
+              if arity == 4 else
+              {1: self.lib.ff_fuse_contain8, 2: self.lib.ff_fuse_contain16,
+               4: self.lib.ff_fuse_contain32})[fp.itemsize]
         fptr = {1: _c_u8p, 2: _c_u16p, 4: _c_u32p}[fp.itemsize]
         fn(_ptr(keys, _c_u64p), ctypes.c_int64(n), ctypes.c_uint64(seed),
            ctypes.c_uint32(seg_len), ctypes.c_uint32(seg_cnt_len),
@@ -379,6 +415,8 @@ def get_kernel() -> _Kernel | None:
         lib = ctypes.CDLL(so)
         lib.ff_peel.restype = ctypes.c_int64
         lib.ff_peel_pre.restype = ctypes.c_int64
+        lib.ff_peel4.restype = ctypes.c_int64
+        lib.ff_peel_pre4.restype = ctypes.c_int64
         _kernel = _Kernel(lib)
     except Exception:
         _kernel = None

@@ -397,3 +397,204 @@ void NAME(const uint64_t *keys, int64_t n, uint64_t seed,                \
 
 XOR_CONTAIN_IMPL(ff_xor_contain8, uint8_t)
 XOR_CONTAIN_IMPL(ff_xor_contain16, uint16_t)
+
+/* ---- 4-wise binary fuse (arity 4) -------------------------------------
+ *
+ * The reference ships arity-4 sizing constants but only the 3-wise hash
+ * (see functions/kernels.py:fuse_index_quad); the 4-wise cell map here
+ * is the same general-arity extension used by the numpy tier — h0 from
+ * the mulhi segment map, h1..h3 in the next three segments with
+ * windowed XOR offsets from a SECOND murmur mix (bits [36:54) [18:36)
+ * [0:18)): three disjoint 18-bit windows consume 54 bits, so any
+ * placement inside h itself overlaps the high bits that drive mulhi,
+ * and offsets correlated with the segment choice break peelability
+ * (fuse_index_quad docstring has the measurement).  Both tiers share
+ * the seed chain and are differential-tested (tests/test_native.py),
+ * same contract as the 3-wise pair. */
+
+static inline uint32_t fuse4_h0(uint64_t h, uint32_t seg_count_length) {
+    return (uint32_t)(((unsigned __int128)h * seg_count_length) >> 64);
+}
+
+#define FUSE4_CELLS(h, a, b, c, d)                                       \
+    do {                                                                 \
+        uint64_t oh_ = mm64(h);                                          \
+        (a) = fuse4_h0((h), seg_count_length);                           \
+        (b) = ((a) + segment_length) ^ ((uint32_t)(oh_ >> 36) & mask);   \
+        (c) = ((a) + 2 * segment_length) ^ ((uint32_t)(oh_ >> 18) & mask);\
+        (d) = ((a) + 3 * segment_length) ^ ((uint32_t)oh_ & mask);       \
+    } while (0)
+
+/* Fused segment-sorted index + 4-cell state accumulation (the arity-4
+ * twin of ff_fuse_prepare). */
+void ff_fuse_prepare4(const uint64_t *keys, int64_t n, uint64_t seed,
+                      uint32_t segment_length, uint32_t seg_count_length,
+                      uint32_t segment_count, int64_t m,
+                      uint64_t *tmp, int64_t *bucket_pos,
+                      uint64_t *mixed, int32_t *g0, int32_t *g1,
+                      int32_t *g2, int32_t *g3, int64_t *state) {
+    uint32_t mask = segment_length - 1;
+    int log2sl = 0;
+    while ((1u << log2sl) < segment_length) log2sl++;
+    int64_t nbuckets = segment_count;
+    for (int64_t b = 0; b <= nbuckets; b++) bucket_pos[b] = 0;
+    for (int64_t i = 0; i < n; i++) {
+        uint64_t h = mm64(keys[i] + seed);
+        tmp[i] = h;
+        bucket_pos[(fuse4_h0(h, seg_count_length) >> log2sl) + 1]++;
+    }
+    for (int64_t b = 1; b <= nbuckets; b++) bucket_pos[b] += bucket_pos[b - 1];
+    for (int64_t i = 0; i < n; i++) {
+        uint64_t h = tmp[i];
+        mixed[bucket_pos[fuse4_h0(h, seg_count_length) >> log2sl]++] = h;
+    }
+    memset(state, 0, (size_t)m * sizeof(int64_t));
+    const int64_t ONE = (int64_t)1 << 32;
+    for (int64_t i = 0; i < n; i++) {
+        uint64_t h = mixed[i];
+        uint32_t a, b2, c2, d2;
+        FUSE4_CELLS(h, a, b2, c2, d2);
+        g0[i] = (int32_t)a;
+        g1[i] = (int32_t)b2;
+        g2[i] = (int32_t)c2;
+        g3[i] = (int32_t)d2;
+        state[a] += ONE; state[a] ^= (uint32_t)i;
+        state[b2] += ONE; state[b2] ^= (uint32_t)i;
+        state[c2] += ONE; state[c2] ^= (uint32_t)i;
+        state[d2] += ONE; state[d2] ^= (uint32_t)i;
+    }
+}
+
+void ff_fuse_index_pre4(const uint64_t *mixed, int64_t n,
+                        uint32_t segment_length, uint32_t seg_count_length,
+                        int32_t *g0, int32_t *g1, int32_t *g2, int32_t *g3) {
+    uint32_t mask = segment_length - 1;
+    for (int64_t i = 0; i < n; i++) {
+        uint64_t h = mixed[i];
+        uint32_t a, b2, c2, d2;
+        FUSE4_CELLS(h, a, b2, c2, d2);
+        g0[i] = (int32_t)a; g1[i] = (int32_t)b2;
+        g2[i] = (int32_t)c2; g3[i] = (int32_t)d2;
+    }
+}
+
+/* 4-ary peel loop — identical bookkeeping to PEEL_LOOP with one more
+ * incident cell per row (and an oc3 emit stream). */
+#define PEEL_LOOP_4(EMIT)                                                \
+    while (qhead < qtail) {                                              \
+        int32_t cell = queue[qhead++];                                   \
+        int64_t st = state[cell];                                        \
+        if ((st >> 32) != 1) continue;                                   \
+        int32_t row = (int32_t)(uint32_t)st;                             \
+        int32_t cs[4] = { g0[row], g1[row], g2[row], g3[row] };          \
+        ocell[np] = cell;                                                \
+        if (EMIT) {                                                      \
+            oc0[np] = cs[0];                                             \
+            oc1[np] = cs[1];                                             \
+            oc2[np] = cs[2];                                             \
+            oc3[np] = cs[3];                                             \
+            ohash[np] = mixed[row];                                      \
+        } else {                                                         \
+            order[np] = row;                                             \
+        }                                                                \
+        np++;                                                            \
+        for (int k = 0; k < 4; k++) {                                    \
+            int32_t c2 = cs[k];                                          \
+            int64_t s2 = (state[c2] - ONE) ^ (uint32_t)row;              \
+            state[c2] = s2;                                              \
+            if ((s2 >> 32) == 1) queue[qtail++] = c2;                    \
+        }                                                                \
+    }
+
+int64_t ff_peel_pre4(int64_t n, int64_t m, const uint64_t *mixed,
+                     const int32_t *g0, const int32_t *g1,
+                     const int32_t *g2, const int32_t *g3,
+                     int64_t *state, int32_t emit,
+                     int32_t *order, int32_t *ocell,
+                     int32_t *oc0, int32_t *oc1, int32_t *oc2, int32_t *oc3,
+                     uint64_t *ohash, int32_t *queue) {
+    const int64_t ONE = (int64_t)1 << 32;
+    int64_t qhead = 0, qtail = 0;
+    for (int64_t c = 0; c < m; c++)
+        if ((state[c] >> 32) == 1) queue[qtail++] = (int32_t)c;
+    int64_t np = 0;
+    if (emit) { PEEL_LOOP_4(1) } else { PEEL_LOOP_4(0) }
+    return np;
+}
+
+/* Accumulate-then-peel over caller-provided g arrays (the arity-4 twin
+ * of ff_peel; used on the duplicate-retry path). */
+int64_t ff_peel4(int64_t n, int64_t m, const uint64_t *mixed,
+                 const int32_t *g0, const int32_t *g1,
+                 const int32_t *g2, const int32_t *g3,
+                 int64_t *state, int32_t emit,
+                 int32_t *order, int32_t *ocell,
+                 int32_t *oc0, int32_t *oc1, int32_t *oc2, int32_t *oc3,
+                 uint64_t *ohash, int32_t *queue) {
+    const int64_t ONE = (int64_t)1 << 32;
+    memset(state, 0, (size_t)m * sizeof(int64_t));
+    for (int64_t i = 0; i < n; i++) {
+        state[g0[i]] += ONE; state[g0[i]] ^= (uint32_t)i;
+        state[g1[i]] += ONE; state[g1[i]] ^= (uint32_t)i;
+        state[g2[i]] += ONE; state[g2[i]] ^= (uint32_t)i;
+        state[g3[i]] += ONE; state[g3[i]] ^= (uint32_t)i;
+    }
+    int64_t qhead = 0, qtail = 0;
+    for (int64_t c = 0; c < m; c++)
+        if ((state[c] >> 32) == 1) queue[qtail++] = (int32_t)c;
+    int64_t np = 0;
+    if (emit) { PEEL_LOOP_4(1) } else { PEEL_LOOP_4(0) }
+    return np;
+}
+
+#define ASSIGN_G4_IMPL(NAME, T)                                          \
+void NAME(int64_t np, const int32_t *order, const int32_t *ocell,        \
+          const uint64_t *mixed,                                         \
+          const int32_t *g0, const int32_t *g1, const int32_t *g2,       \
+          const int32_t *g3, T *fp) {                                    \
+    for (int64_t i = np - 1; i >= 0; i--) {                              \
+        int32_t row = order[i];                                          \
+        uint64_t h = mixed[row];                                         \
+        T v = (T)(h ^ (h >> 32));                                        \
+        v ^= fp[g0[row]] ^ fp[g1[row]] ^ fp[g2[row]] ^ fp[g3[row]];      \
+        fp[ocell[i]] = v;                                                \
+    }                                                                    \
+}
+
+ASSIGN_G4_IMPL(ff_assign8_g4, uint8_t)
+ASSIGN_G4_IMPL(ff_assign16_g4, uint16_t)
+ASSIGN_G4_IMPL(ff_assign32_g4, uint32_t)
+
+#define ASSIGN4_IMPL(NAME, T)                                            \
+void NAME(int64_t np, const int32_t *ocell,                              \
+          const int32_t *oc0, const int32_t *oc1, const int32_t *oc2,    \
+          const int32_t *oc3, const uint64_t *ohash, T *fp) {            \
+    for (int64_t i = np - 1; i >= 0; i--) {                              \
+        uint64_t h = ohash[i];                                           \
+        T v = (T)(h ^ (h >> 32));                                        \
+        v ^= fp[oc0[i]] ^ fp[oc1[i]] ^ fp[oc2[i]] ^ fp[oc3[i]];          \
+        fp[ocell[i]] = v;                                                \
+    }                                                                    \
+}
+
+ASSIGN4_IMPL(ff_assign8_4, uint8_t)
+ASSIGN4_IMPL(ff_assign16_4, uint16_t)
+ASSIGN4_IMPL(ff_assign32_4, uint32_t)
+
+#define FUSE_CONTAIN4_IMPL(NAME, T)                                      \
+void NAME(const uint64_t *keys, int64_t n, uint64_t seed,                \
+          uint32_t segment_length, uint32_t seg_count_length,            \
+          const T *fp, uint8_t *out) {                                   \
+    uint32_t mask = segment_length - 1;                                  \
+    for (int64_t i = 0; i < n; i++) {                                    \
+        uint64_t h = mm64(keys[i] + seed);                               \
+        T f = (T)(h ^ (h >> 32));                                        \
+        uint32_t a, b, c, d;                                             \
+        FUSE4_CELLS(h, a, b, c, d);                                      \
+        out[i] = (uint8_t)((T)(f ^ fp[a] ^ fp[b] ^ fp[c] ^ fp[d]) == 0); \
+    }                                                                    \
+}
+
+FUSE_CONTAIN4_IMPL(ff_fuse_contain8_4, uint8_t)
+FUSE_CONTAIN4_IMPL(ff_fuse_contain16_4, uint16_t)
+FUSE_CONTAIN4_IMPL(ff_fuse_contain32_4, uint32_t)

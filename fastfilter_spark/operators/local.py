@@ -421,8 +421,10 @@ class FuseFilter:
         arity-4 sizing constants (binaryfusefilter.h:196-198/214-216 —
         dead code there; the reference hashes 3-wise only) and the
         general-arity hash extension (kernels.fuse_index_quad).  ~7-8%
-        fewer bits/entry at the cost of a denser hypergraph (numpy peel
-        path; the native kernel is 3-wise).
+        fewer bits/entry at the cost of a denser hypergraph.  Both the
+        native kernel and the numpy tier implement the 4-wise map
+        (ffkernel.c ff_fuse_prepare4/ff_peel_pre4; differential-tested
+        in tests/test_native.py).
         """
         if arity not in (3, 4):
             raise ValueError("arity must be 3 or 4")
@@ -433,11 +435,12 @@ class FuseFilter:
         mask = seg_len - 1
         rng_state = K.FUSE_RNG_START
         rng_state, seed = K.splitmix64(rng_state)
-        nat = native.get_kernel() if arity == 3 else None
+        nat = native.get_kernel()
 
         def triple(hashes):
             if nat is not None:
-                return nat.fuse_index_pre(hashes, seg_len, seg_cnt_len)
+                return nat.fuse_index_pre(hashes, seg_len, seg_cnt_len,
+                                          arity=arity)
             if arity == 4:
                 return tuple(g.astype(np.int32) for g in K.fuse_index_quad(
                     hashes, seg_len, mask, seg_cnt_len))
@@ -467,15 +470,14 @@ class FuseFilter:
             if nat is not None:
                 # fused index+accumulate pass, then peel over the
                 # pre-filled state (one fewer sweep than index + peel)
-                hashes, g0, g1, g2 = nat.fuse_prepare(
+                hashes, *gs = nat.fuse_prepare(
                     current, seed, seg_len, seg_cnt_len, seg_cnt,
-                    array_length)
-                gs = (g0, g1, g2)
+                    array_length, arity=arity)
+                gs = tuple(gs)
                 if nat.state_overflow(array_length):
                     rounds, peeled = None, -1  # counter-wrap abort (see peel)
                 else:
-                    rounds, peeled = nat.peel_pre(array_length, hashes,
-                                                  g0, g1, g2)
+                    rounds, peeled = nat.peel_pre(array_length, hashes, *gs)
             else:
                 hashes = K.mix_split(current, seed)
                 gs = triple(hashes)
@@ -511,11 +513,11 @@ class FuseFilter:
         """Vectorized probe (binaryfusefilter.h:178-187):
         fingerprint ^ XOR_i fp[h_i] == 0 (3- or 4-wise per self.arity)."""
         keys = K.to_uint64(keys)
-        nat = native.get_kernel() if self.arity == 3 else None
+        nat = native.get_kernel()
         if nat is not None:
             return nat.fuse_contain(keys, self.seed, self.segment_length,
                                     self.segment_count_length,
-                                    self.fingerprints)
+                                    self.fingerprints, arity=self.arity)
         hashes = K.mix_split(keys, self.seed)
         f = K.fingerprint64(hashes).astype(self.fingerprints.dtype)
         index = K.fuse_index_quad if self.arity == 4 else K.fuse_index_triple

@@ -95,3 +95,81 @@ def test_native_fpp_bound():
     probes = np.random.default_rng(9).integers(
         1 << 40, 1 << 62, size=1_000_000, dtype=np.uint64)
     assert f.contain(probes).mean() <= (1 / 256) * 1.25
+
+
+# ---- arity-4 native path (VERDICT r2 missing-item #1) ----------------------
+
+def _numpy_build4(keys: np.ndarray, bits: int) -> bytes:
+    code = (
+        "import numpy as np, sys\n"
+        "sys.path.insert(0, '/root/repo')\n"
+        "from fastfilter_spark.operators.local import FuseFilter\n"
+        "keys = np.frombuffer(sys.stdin.buffer.read(), dtype=np.uint64)\n"
+        f"f = FuseFilter.build(keys, fingerprint_bits={bits}, arity=4)\n"
+        "sys.stdout.buffer.write(f.to_bytes())\n"
+    )
+    out = subprocess.run(
+        [sys.executable, "-c", code], input=keys.tobytes(),
+        capture_output=True, env={"FASTFILTER_NO_NATIVE": "1",
+                                  "PATH": "/usr/bin:/bin"},
+        check=True)
+    return out.stdout
+
+
+@pytest.mark.parametrize("bits", [8, 16, 32])
+def test_native_arity4_vs_numpy(bits):
+    """The 4-wise native kernel (ff_fuse_prepare4/ff_peel_pre4) must be
+    interchangeable with the numpy fuse_index_quad tier: identical
+    winning seed, identical layout, and cross-tier wire compatibility
+    (zero false negatives probing each other's filters — the index maps
+    and fingerprint fold agree; only peel ORDER may differ)."""
+    from fastfilter_spark.operators.local import FuseFilter
+    keys = (np.arange(30_000, dtype=np.uint64) * np.uint64(0x9E3779B97F4A7C15))
+    nat_f = FuseFilter.build(keys, fingerprint_bits=bits, arity=4)
+    assert nat_f.arity == 4
+    np_bytes = _numpy_build4(keys, bits)
+    np_f = FuseFilter.from_bytes(np_bytes, fingerprint_bits=bits)
+    assert np_f.arity == 4              # arity inferred from layout
+    assert nat_f.seed == np_f.seed      # identical seed chain
+    assert len(nat_f.to_bytes()) == len(np_bytes)
+    # cross-tier: native probe of the numpy-built filter and vice versa
+    assert nat_f.contain(keys).all()
+    assert np_f.contain(keys).all()     # np_f probes natively here
+    rng = np.random.default_rng(11)
+    others = rng.integers(0, 1 << 63, size=300_000, dtype=np.uint64)
+    bound = {8: 2**-8, 16: 2**-16, 32: 2**-32}[bits]
+    assert np_f.contain(others).mean() <= bound * 2 + 3e-6
+
+
+def test_native_arity4_index_map_matches_numpy():
+    """The 4-wise cell map itself must agree element-wise (this is what
+    guarantees cross-tier compatibility above)."""
+    from fastfilter_spark.functions import kernels as K
+    from fastfilter_spark.operators.local import fuse_layout
+    nat = get_kernel()
+    seg_len, seg_cnt, seg_cnt_len, m = fuse_layout(50_000, 4)
+    hashes = np.random.default_rng(2).integers(
+        0, 1 << 63, size=10_000, dtype=np.uint64)
+    g_nat = nat.fuse_index_pre(hashes, seg_len, seg_cnt_len, arity=4)
+    g_np = K.fuse_index_quad(hashes, seg_len, seg_len - 1, seg_cnt_len)
+    for a, b in zip(g_nat, g_np):
+        assert (a.astype(np.int64) == b.astype(np.int64)).all()
+
+
+def test_native_arity4_emit_path():
+    """>= EMIT_MIN_N keys exercises the emit-cells peel + sequential
+    assign variant (oc0..oc3 streams)."""
+    from fastfilter_spark.operators.local import FuseFilter
+    n = get_kernel().EMIT_MIN_N + 10_000
+    keys = np.random.default_rng(5).integers(
+        0, 1 << 63, size=n, dtype=np.uint64)
+    f = FuseFilter.build(keys, fingerprint_bits=8, arity=4)
+    assert f.contain(keys).all()
+
+
+def test_native_arity4_duplicates():
+    from fastfilter_spark.operators.local import FuseFilter
+    keys = np.concatenate([np.arange(5000, dtype=np.uint64),
+                           np.arange(25, dtype=np.uint64)])
+    f = FuseFilter.build(keys, fingerprint_bits=8, arity=4)
+    assert f.contain(keys).all()
