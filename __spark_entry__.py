@@ -342,6 +342,32 @@ def q_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
                                  "n_exact long, within_bound int")
 
 
+def q_multi_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-pass multi-sketch aggregation (multi_sketch_column, the
+    engine behind the distributed streaming sketch sink): HLL + KLL
+    partials for the same column computed in a SINGLE scan, merged from
+    per-task wire blobs.  Invariants: the KLL's total weight equals the
+    exact non-null row count (lossless counting through partials + tree
+    merge) and the HLL estimate is within 3 sigma of exact distinct."""
+    import math
+
+    from fastfilter_spark.functions.sketches import KLL, HyperLogLog
+    from fastfilter_spark.operators.sketch_agg import multi_sketch_column
+    li = _t(spark, sf_dir, "lineitem")
+    m = multi_sketch_column(li.select("l_orderkey"), "l_orderkey",
+                            {"hll": lambda: HyperLogLog(12),
+                             "kll": lambda: KLL(200)})
+    exact = li.agg(F.count("l_orderkey").alias("n"),
+                   F.count_distinct("l_orderkey").alias("d")).first()
+    n_rows, n_distinct = int(exact["n"]), int(exact["d"])
+    bound = 3 * 1.04 / math.sqrt(1 << 12)
+    hll_ok = int(abs(m["hll"].estimate() - n_distinct) / n_distinct <= bound)
+    kll_ok = int(m["kll"].n == n_rows)
+    return spark.createDataFrame(
+        [(n_rows, n_distinct, hll_ok, kll_ok)],
+        "n_rows long, n_distinct long, hll_within_bound int, kll_n_ok int")
+
+
 def _quantile_rank_query(kind: str):
     """KLL / t-digest: realized rank of each estimated quantile must sit
     within eps=0.03 of the target (the bound test_sketches.py asserts for
@@ -667,6 +693,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_fullprobe_topk": q_ivf_fullprobe_topk,
         # sketches (north_rule)
         "hll_distinct": q_hll_distinct,
+        "multi_sketch": q_multi_sketch,
         "kll_quantiles": q_kll_quantiles,
         "tdigest_quantiles": q_tdigest_quantiles,
         "cms_heavy_hitters": q_cms_heavy_hitters,
@@ -797,6 +824,11 @@ def oracle_sql() -> dict[str, str]:
         "hll_distinct": (
             "SELECT count(DISTINCT l_orderkey) AS n_exact, "
             "CAST(1 AS INT) AS within_bound FROM lineitem"),
+        "multi_sketch": (
+            "SELECT count(l_orderkey) AS n_rows, "
+            "count(DISTINCT l_orderkey) AS n_distinct, "
+            "CAST(1 AS INT) AS hll_within_bound, "
+            "CAST(1 AS INT) AS kll_n_ok FROM lineitem"),
         "kll_quantiles": _quantile_rank_oracle(),
         "tdigest_quantiles": _quantile_rank_oracle(),
         "cms_heavy_hitters": (

@@ -120,11 +120,16 @@ def run_level(cpus: int) -> dict:
 
     # best-of-N with per-run wall AND per-run steal recorded: this
     # sandbox VM suffers steal bursts, so single runs are noisy and the
-    # full distribution is emitted for the round artifact
+    # full distribution is emitted for the round artifact.  If even the
+    # BEST run was steal-contaminated, take up to 2 extra runs — a
+    # storm that poisons all N scheduled runs otherwise decides the
+    # level (and the round's efficiency figure) by itself.
     best_build, steal_s = float("inf"), 0.0
     build_runs: list[dict] = []
     sf = None
-    for _ in range(RUNS):
+    runs_left, extras_left = RUNS, 2
+    while runs_left > 0:
+        runs_left -= 1
         s0 = steal_jiffies()
         t0 = time.perf_counter()
         sf, _ = build_sharded(keys, "key", kind="fuse8",
@@ -134,6 +139,8 @@ def run_level(cpus: int) -> dict:
         build_runs.append({"s": round(dt, 3), "steal_cpu_s": round(st, 1)})
         if dt < best_build:
             best_build, steal_s = dt, st
+        if runs_left == 0 and steal_s > 2 and extras_left > 0:
+            runs_left, extras_left = 1, extras_left - 1
     # ONE probe udf, warmed once then timed: a fresh udf per iteration
     # would re-broadcast the payloads and re-deserialize all shards in
     # every worker, timing one-off setup instead of steady-state probes
