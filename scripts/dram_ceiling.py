@@ -35,41 +35,47 @@ _REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, _REPO)
 
 
-def _copy_worker(stop_t: float, out):
+def _copy_worker(barrier, seconds: float, out):
     a = np.random.default_rng(0).integers(0, 255, size=64 << 20,
                                           dtype=np.uint8)  # 64 MB
     b = np.empty_like(a)
+    np.copyto(b, a)                      # fault the pages before timing
+    barrier.wait()                       # all workers start together
+    t0 = time.perf_counter()
     n = 0
-    while time.perf_counter() < stop_t:
+    while time.perf_counter() - t0 < seconds:
         np.copyto(b, a)
         n += 1
-    out.put(n * a.nbytes * 2)  # read + write
+    out.put(n * a.nbytes * 2 / (time.perf_counter() - t0))  # read+write B/s
 
 
-def _build_worker(stop_t: float, out):
+def _build_worker(barrier, seconds: float, out):
     from fastfilter_spark.operators.local import FuseFilter
     keys = np.random.default_rng(os.getpid()).integers(
         0, 1 << 63, size=300_000, dtype=np.uint64)
     FuseFilter.build(keys)  # warm: compile/load the native kernel
+    barrier.wait()
+    t0 = time.perf_counter()
     n = 0
-    while time.perf_counter() < stop_t:
+    while time.perf_counter() - t0 < seconds:
         FuseFilter.build(keys)
         n += keys.size
-    out.put(n)
+    out.put(n / (time.perf_counter() - t0))
 
 
 def sweep(worker, seconds: float, procs: list[int]) -> dict[int, float]:
     res = {}
     for p in procs:
         q = mp.Queue()
-        stop_t = time.perf_counter() + seconds
-        ps = [mp.Process(target=worker, args=(stop_t, q)) for _ in range(p)]
+        barrier = mp.Barrier(p)
+        ps = [mp.Process(target=worker, args=(barrier, seconds, q))
+              for _ in range(p)]
         for x in ps:
             x.start()
         total = sum(q.get() for _ in ps)
         for x in ps:
             x.join()
-        res[p] = total / seconds
+        res[p] = total
     return res
 
 
