@@ -199,11 +199,31 @@ def main() -> None:
                                             "240"))]
         calm_log: list = []
 
+        _ncpu = os.cpu_count() or 1
+        # session-wide best effective-core-speed observation (Mops from
+        # the spin probe): the calm reference every sample is judged
+        # against.  SMT-sibling / frequency contamination slows runs
+        # with all jiffies counters clean — only relative core speed
+        # reveals it.
+        spin_max = [0.0]
+
+        def _spin_mops(dur: float = 0.25) -> float:
+            t0 = time.perf_counter()
+            n, x = 0, 1
+            while time.perf_counter() - t0 < dur:
+                for _ in range(10000):
+                    x = (x * 1103515245 + 12345) & 0xFFFFFFFF
+                n += 10000
+            m = n / (time.perf_counter() - t0) / 1e6
+            spin_max[0] = max(spin_max[0], m)
+            return m
+
         def _steal_busy():
             with open("/proc/stat") as f:
                 parts = f.readline().split()
             busy = sum(int(parts[i]) for i in (1, 2, 3, 6, 7, 8))
-            return int(parts[8]), busy
+            total = sum(int(x) for x in parts[1:])
+            return int(parts[8]), busy, total
 
         def wait_calm(window: float = 3.0, steal_thresh: float = 1.0,
                       busy_thresh: float = 2.5, consecutive: int = 2):
@@ -222,12 +242,20 @@ def main() -> None:
             lulls inside a storm."""
             waited, clean = 0.0, 0
             while calm_budget[0] > 0 and clean < consecutive:
-                s0, b0 = _steal_busy()
+                s0, b0, j0 = _steal_busy()
+                t0 = time.perf_counter()
                 time.sleep(min(window, max(calm_budget[0], 0.1)))
-                s1, b1 = _steal_busy()
+                dt = time.perf_counter() - t0
+                s1, b1, j1 = _steal_busy()
                 calm_budget[0] -= window
+                # lost = VM-pause time: wall advanced but jiffies (ALL
+                # fields) did not — shows in neither steal nor busy
+                lost = max(0.0, dt * _ncpu - (j1 - j0) / 100.0)
+                spin = _spin_mops()
                 if ((s1 - s0) / 100.0 < steal_thresh
-                        and (b1 - b0) / 100.0 < busy_thresh):
+                        and (b1 - b0) / 100.0 < busy_thresh
+                        and lost < 1.0
+                        and spin >= 0.85 * spin_max[0]):
                     clean += 1
                 else:
                     clean = 0
@@ -281,10 +309,37 @@ def main() -> None:
         # the round's artifact (the contamination never showed as steal
         # during the best build, only at level granularity — both are
         # recorded now, plus busy CPU outside our process tree).
+        def settled(c):
+            """A level is settled when its best build ran clean by ALL
+            THREE contamination counters — re-running it can only tie
+            (best-of keeps the faster pass), so later attempts spend
+            their budget on the level that actually took the storm.
+            steal alone is not enough: co-tenant load slows a run with
+            no steal (external busy catches it, the round-2 failure
+            mode), and a whole-VM hypervisor pause slows a run with
+            neither steal NOR busy (wall advances, jiffies freeze —
+            the 'lost' counter catches it; a recorded level-8 best of
+            17.3 s vs 4.2 s calm showed 0.6 steal and 0.8 external)."""
+            lv = levels.get(c)
+            if lv is None:
+                return False
+            for r in lv.get("build_runs", []):
+                if "spin_mops" in r:
+                    spin_max[0] = max(spin_max[0], r["spin_mops"])
+            return (lv["steal_cpu_s_during_best_build"] <= 1
+                    and lv.get("external_busy_cpu_s_during_best_build",
+                               99) <= 2.5
+                    and lv.get("lost_cpu_s_during_best_build", 99)
+                    <= max(2.0, 0.02 * lv["build_s"] * _ncpu)
+                    and lv.get("spin_mops_during_best_build", 0)
+                    >= 0.85 * spin_max[0])
+
         attempt = 0
-        while attempt < 4:
+        while attempt < 5:
             attempt += 1
             for c in (2, 8):
+                if attempt > 1 and settled(c):
+                    continue
                 wait_calm()
                 r = run_level(c)
                 if r:
@@ -293,10 +348,25 @@ def main() -> None:
             if 2 not in levels or 8 not in levels:
                 break
             e = eff("build_keys_per_sec", 2, 8)
-            clean = max(levels[c]["steal_cpu_s_during_best_build"]
-                        for c in (2, 8)) <= 2
-            if (e >= 0.78 and clean) or not budget_left(0.85):
+            if e >= 0.78 and settled(2) and settled(8):
                 break
+            if settled(2) and settled(8):
+                retries.append(
+                    f"pair attempt {attempt}: build efficiency {e} with "
+                    "both levels' best runs clean on steal AND external "
+                    "busy — recorded as measured")
+                break
+            if not budget_left(0.85):
+                retries.append(
+                    f"pair attempt {attempt}: build efficiency {e} — "
+                    "scaling budget exhausted before a clean passing "
+                    "pair; per-run/per-level contamination columns "
+                    "explain the recorded levels")
+                break
+            retries.append(
+                f"pair attempt {attempt}: build efficiency {e} "
+                f"(target 0.8), settled: local2={settled(2)} "
+                f"local8={settled(8)} — re-running unsettled levels")
             retries.append(
                 f"pair attempt {attempt}: build efficiency {e} "
                 f"(target 0.8), best-build steal "

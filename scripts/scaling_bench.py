@@ -47,6 +47,46 @@ def _busy_jiffies() -> int:
     return u + n + s + irq + sirq + steal
 
 
+_NCPU = os.cpu_count() or 1
+
+
+def _total_jiffies() -> int:
+    """ALL jiffies on the aggregate cpu line, idle and iowait included.
+    On a healthy host this advances at ~NCPU * 100 per wall second; a
+    whole-VM hypervisor pause freezes it while the TSC-backed wall
+    clock keeps running — the one contamination mode that shows up in
+    NEITHER the steal column (the kernel is not running, so steal does
+    not accrue) NOR external busy.  wall*NCPU minus the delta is the
+    'lost' CPU time of a window."""
+    with open("/proc/stat") as f:
+        parts = f.readline().split()
+    return sum(int(x) for x in parts[1:])
+
+
+def _lost_cpu_s(wall_s: float, jiffies_delta: int) -> float:
+    return max(0.0, wall_s * _NCPU - jiffies_delta / 100.0)
+
+
+def _spin_mops(dur: float = 0.25) -> float:
+    """Effective single-core speed probe (fixed integer work per
+    iteration): the fourth contamination counter.  A co-tenant VM on
+    the SIBLING HYPERTHREADS (or host-side frequency throttling) slows
+    every instruction we retire while showing zero steal, zero
+    external busy, and zero lost time — jiffies tick normally, we are
+    'running' the whole time, each cycle just does less.  Observed: a
+    13.3 s local[8] build (4.2 s calm) with all three jiffies counters
+    clean.  Absolute Mops are comparable across processes on one host,
+    so the caller judges a run against the session-wide maximum."""
+    t0 = time.perf_counter()
+    n = 0
+    x = 1
+    while time.perf_counter() - t0 < dur:
+        for _ in range(10000):
+            x = (x * 1103515245 + 12345) & 0xFFFFFFFF
+        n += 10000
+    return n / (time.perf_counter() - t0) / 1e6
+
+
 def _tree_jiffies() -> int:
     """utime+stime summed over THIS process and every live descendant
     (the JVM and its python workers are our children).  Used to split
@@ -115,8 +155,9 @@ def run_level(cpus: int) -> dict:
     # OTHER runs were poisoned — and co-tenant processes never show as
     # steal at all, only as busy CPU this process tree did not spend)
     lvl_t0 = time.perf_counter()
-    lvl_steal0, lvl_busy0, lvl_tree0 = (
-        steal_jiffies(), _busy_jiffies(), _tree_jiffies())
+    lvl_steal0, lvl_busy0, lvl_tree0, lvl_j0 = (
+        steal_jiffies(), _busy_jiffies(), _tree_jiffies(),
+        _total_jiffies())
 
     # best-of-N with per-run wall AND per-run steal recorded: this
     # sandbox VM suffers steal bursts, so single runs are noisy and the
@@ -124,23 +165,40 @@ def run_level(cpus: int) -> dict:
     # BEST run was steal-contaminated, take up to 2 extra runs — a
     # storm that poisons all N scheduled runs otherwise decides the
     # level (and the round's efficiency figure) by itself.
-    best_build, steal_s = float("inf"), 0.0
+    best_build, steal_s, ext_s, lost_s = float("inf"), 0.0, 0.0, 0.0
+    spin_best = 0.0
     build_runs: list[dict] = []
     sf = None
     runs_left, extras_left = RUNS, 2
     while runs_left > 0:
         runs_left -= 1
+        spin_pre = _spin_mops()
         s0 = steal_jiffies()
+        b0, tr0, j0 = _busy_jiffies(), _tree_jiffies(), _total_jiffies()
         t0 = time.perf_counter()
         sf, _ = build_sharded(keys, "key", kind="fuse8",
                               shard_bits=SHARD_BITS)
         dt = time.perf_counter() - t0
         st = (steal_jiffies() - s0) / 100.0
-        build_runs.append({"s": round(dt, 3), "steal_cpu_s": round(st, 1)})
+        ext = max(0.0, (_busy_jiffies() - b0 - (_tree_jiffies() - tr0))
+                  / 100.0)
+        lost = _lost_cpu_s(dt, _total_jiffies() - j0)
+        spin = min(spin_pre, _spin_mops())   # worse of the two brackets
+        build_runs.append({"s": round(dt, 3), "steal_cpu_s": round(st, 1),
+                           "external_busy_cpu_s": round(ext, 1),
+                           "lost_cpu_s": round(lost, 1),
+                           "spin_mops": round(spin, 2)})
         if dt < best_build:
-            best_build, steal_s = dt, st
+            best_build, steal_s, ext_s, lost_s = dt, st, ext, lost
+            spin_best = spin
         if runs_left == 0 and steal_s > 2 and extras_left > 0:
             runs_left, extras_left = 1, extras_left - 1
+        # early abort: once the best run is CLEAN, a storm-hit run
+        # (2x the best) says further runs can only tie — stop burning
+        # wall-clock the caller could spend waiting out the storm and
+        # retrying the whole pair (best-of keeps what we have)
+        if runs_left > 0 and steal_s <= 1 and dt > 2 * best_build:
+            break
     # ONE probe udf, warmed once then timed: a fresh udf per iteration
     # would re-broadcast the payloads and re-deserialize all shards in
     # every worker, timing one-off setup instead of steady-state probes
@@ -164,6 +222,7 @@ def run_level(cpus: int) -> dict:
     lvl_external = max(
         0.0, (_busy_jiffies() - lvl_busy0 - (_tree_jiffies() - lvl_tree0))
         / 100.0)
+    lvl_lost = _lost_cpu_s(lvl_wall, _total_jiffies() - lvl_j0)
 
     spark.stop()
     return {
@@ -173,11 +232,15 @@ def run_level(cpus: int) -> dict:
         "probe_s": round(probe_s, 3),
         "probe_keys_per_sec": round(n / probe_s, 1),
         "steal_cpu_s_during_best_build": round(steal_s, 1),
+        "external_busy_cpu_s_during_best_build": round(ext_s, 1),
+        "lost_cpu_s_during_best_build": round(lost_s, 1),
+        "spin_mops_during_best_build": round(spin_best, 2),
         "build_runs": build_runs,
         "probe_runs_s": probe_runs,
         "level_wall_s": round(lvl_wall, 1),
         "level_steal_cpu_s": round(lvl_steal, 1),
         "level_external_busy_cpu_s": round(lvl_external, 1),
+        "level_lost_cpu_s": round(lvl_lost, 1),
     }
 
 

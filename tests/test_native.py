@@ -173,3 +173,17 @@ def test_native_arity4_duplicates():
                            np.arange(25, dtype=np.uint64)])
     f = FuseFilter.build(keys, fingerprint_bits=8, arity=4)
     assert f.contain(keys).all()
+
+
+def test_native_arity4_peels_beyond_shard_sizes():
+    """Regression for the round-3 peelability fix: offset windows drawn
+    from the mulhi-driving high bits left ~78% of rows unpeelable at
+    n=5M (every seed), while shard-sized builds (<=2M) worked — so a
+    size this large must stay in the differential suite."""
+    from fastfilter_spark.operators.local import FuseFilter
+    keys = np.random.default_rng(17).integers(
+        0, 1 << 63, size=6_000_000, dtype=np.uint64)
+    f = FuseFilter.build(keys, fingerprint_bits=8, arity=4)
+    assert f.seed is not None
+    sample = keys[:: 97]
+    assert f.contain(sample).all()
