@@ -74,17 +74,24 @@ def main() -> None:
         # interleaved A/B against the prior tree — see BENCH.md).  The
         # full distribution goes into the artifact so a slow best-of is
         # distinguishable from a slow engine.
-        best, out = float("inf"), None
+        best, best_steal, out = float("inf"), 0.0, None
         runs = []
-        for _ in range(3):
+        todo, extras = 3, 2
+        while todo > 0:
+            todo -= 1
             s0 = steal_jiffies()
             t0 = time.perf_counter()
             out = fn()
             dt = time.perf_counter() - t0
-            runs.append({"s": round(dt, 3),
-                         "steal_cpu_s": round((steal_jiffies() - s0) / 100.0,
-                                              1)})
-            best = min(best, dt)
+            st = round((steal_jiffies() - s0) / 100.0, 1)
+            runs.append({"s": round(dt, 3), "steal_cpu_s": st})
+            if dt < best:
+                best, best_steal = dt, st
+            # a storm can poison all three scheduled runs; if even the
+            # BEST run saw steal, spend up to 2 extra runs so one query
+            # cannot decide the suite artifact from inside a storm
+            if todo == 0 and best_steal > 1 and extras > 0:
+                todo, extras = 1, extras - 1
         timings[name] = round(best, 3)
         query_runs[name] = runs
         return out
@@ -284,8 +291,8 @@ def main() -> None:
             out["build_runs"] = a["build_runs"] + b["build_runs"]
             out["probe_runs_s"] = a["probe_runs_s"] + b["probe_runs_s"]
             for k in ("level_wall_s", "level_steal_cpu_s",
-                      "level_external_busy_cpu_s"):
-                out[k] = round(a[k] + b[k], 1)
+                      "level_external_busy_cpu_s", "level_lost_cpu_s"):
+                out[k] = round(a.get(k, 0.0) + b.get(k, 0.0), 1)
             return out
 
         def budget_left(frac=1.0):
@@ -348,7 +355,7 @@ def main() -> None:
             if 2 not in levels or 8 not in levels:
                 break
             e = eff("build_keys_per_sec", 2, 8)
-            if e >= 0.78 and settled(2) and settled(8):
+            if e >= 0.8 and settled(2) and settled(8):
                 break
             if settled(2) and settled(8):
                 retries.append(

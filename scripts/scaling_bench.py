@@ -35,6 +35,25 @@ os.environ["PYTHONPATH"] = (
 N_KEYS = int(os.environ.get("SCALING_N_KEYS", 20_000_000))
 RUNS = int(os.environ.get("SCALING_RUNS", 5))
 SHARD_BITS = int(os.environ.get("SCALING_SHARD_BITS", 6))
+# AQE advisory partition size for the shuffle-read side of the build.
+# At cluster scale a 64-shard-of-40M-keys shuffle is GBs per shard and
+# the default 64 MB advisory never merges shards; at this bench's input
+# size each shard's shuffle blocks are ~7 MB, so the default coalesces
+# ~6 shards into one fat task and the level-8 build ends in a 2-core
+# straggler tail (~23% of wall, measured with a 100 ms utilization
+# timeline).  SCALING_ADVISORY below shard size keeps one task per
+# shard — the SAME task granularity a real deployment has.
+ADVISORY = os.environ.get("SCALING_ADVISORY", "4m")
+# Pin the level's process tree to exactly `cpus` CPUs (the subprocess
+# calls sched_setaffinity before the JVM starts, so every JVM/python
+# descendant inherits it).  local[N] caps concurrent TASKS, not CPUs:
+# GC, shuffle-netty and python workers run beside the N task slots, and
+# a 100 ms utilization timeline showed an unpinned local[2] consuming
+# 2.6 cores — inflating the small-N baseline and understating true
+# scaling.  A real N-core executor is cgroup-bound to N CPUs (YARN/K8s
+# cpuset); pinning reproduces that resource boundary.  SCALING_PIN=0
+# restores the old unpinned behavior.
+PIN = os.environ.get("SCALING_PIN", "1") == "1"
 
 
 def _busy_jiffies() -> int:
@@ -118,12 +137,16 @@ def _tree_jiffies() -> int:
 
 
 def run_level(cpus: int) -> dict:
+    if PIN and cpus < _NCPU:
+        # before the JVM starts: every descendant inherits the mask
+        os.sched_setaffinity(0, set(range(cpus)))
     from pyspark.sql import SparkSession, functions as F
     spark = (
         SparkSession.builder.master(f"local[{cpus}]")
         .appName(f"scaling-bench-{cpus}")
         .config("spark.sql.shuffle.partitions", str(max(cpus, 1 << SHARD_BITS)))
         .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", ADVISORY)
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "262144")
         .config("spark.shuffle.compress", "false")
         .config("spark.shuffle.spill.compress", "false")
@@ -227,6 +250,7 @@ def run_level(cpus: int) -> dict:
     spark.stop()
     return {
         "cpus": cpus, "n_keys": n,
+        "pinned": bool(PIN and cpus < _NCPU), "advisory": ADVISORY,
         "build_s": round(build_s, 3),
         "build_keys_per_sec": round(n / build_s, 1),
         "probe_s": round(probe_s, 3),
