@@ -271,9 +271,18 @@ def main() -> None:
                 calm_log.append(round(waited, 1))
 
         def run_level(c):
+            # more runs at the cheap high-parallelism levels: a run is
+            # ~6 s at local[8] vs ~24 s at local[2], and the one
+            # contamination mode no counter can bracket (a mid-run
+            # core-slowdown burst between the spin probes) is only
+            # beaten statistically — best-of over more runs raises the
+            # odds one lands in a calm window at almost no budget cost
+            runs = env.get("SCALING_RUNS", "4") if c <= 2 else \
+                str(int(env.get("SCALING_RUNS", "4")) + 4)
             out = subprocess.run(
                 [sys.executable, script, "--level", str(c)],
-                capture_output=True, text=True, env=env, cwd=_REPO)
+                capture_output=True, text=True,
+                env=dict(env, SCALING_RUNS=runs), cwd=_REPO)
             lines = [ln for ln in out.stdout.splitlines()
                      if ln.startswith("{")]
             return json.loads(lines[-1]) if lines else None

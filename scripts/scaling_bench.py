@@ -214,7 +214,13 @@ def run_level(cpus: int) -> dict:
         if dt < best_build:
             best_build, steal_s, ext_s, lost_s = dt, st, ext, lost
             spin_best = spin
-        if runs_left == 0 and steal_s > 2 and extras_left > 0:
+        if runs_left == 0 and extras_left > 0 and (
+                steal_s > 2
+                # best run's bracketing spin probes ran >15% below the
+                # fastest spin this level observed: the best build
+                # likely ran on degraded cores — worth another attempt
+                or spin_best < 0.85 * max(r["spin_mops"]
+                                          for r in build_runs)):
             runs_left, extras_left = 1, extras_left - 1
         # early abort: once the best run is CLEAN, a storm-hit run
         # (2x the best) says further runs can only tie — stop burning
