@@ -215,7 +215,7 @@ class _Kernel:
                 self._buf("ohash", full, np.uint64),
                 self._buf("queue", n_cells, np.int32))
 
-    def _peel_call(self, fn3, fn4, n_cells: int, mixed, gs, pre: bool):
+    def _peel_call(self, fn3, fn4, n_cells: int, mixed, gs):
         n = gs[0].size
         arity = len(gs)
         emit = n >= self.EMIT_MIN_N
@@ -250,7 +250,7 @@ class _Kernel:
         just the peel order (lean assign over the g arrays).  Pass 3 or
         4 g arrays; arity is inferred from the count."""
         return self._peel_call(self.lib.ff_peel_pre, self.lib.ff_peel_pre4,
-                               n_cells, mixed, gs, pre=True)
+                               n_cells, mixed, gs)
 
     def fuse_index_pre(self, mixed: np.ndarray, seg_len: int,
                        seg_cnt_len: int, arity: int = 3):
@@ -327,7 +327,7 @@ class _Kernel:
         """Returns (peel_out, n_peeled) — see :meth:`peel_pre`.  Pass 3
         or 4 g arrays; arity is inferred from the count."""
         return self._peel_call(self.lib.ff_peel, self.lib.ff_peel4,
-                               n_cells, mixed, gs, pre=False)
+                               n_cells, mixed, gs)
 
     def assign(self, n_peeled: int, peel_out, fp: np.ndarray):
         """Reverse-order fingerprint assignment over peel() output."""

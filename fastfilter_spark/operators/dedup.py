@@ -423,9 +423,12 @@ def embedding_near_dup(df: DataFrame, id_col: str = "vec_id",
     (cosine 1.0) collide in EVERY table, so T=1 suffices for them.
 
     ``max_bucket`` caps per-(table, bucket) group size before the
-    verify (whose cost is O(B^2) in memory and time) — the same guard
-    ``lsh_candidates`` applies; ``None`` disables.  ``count_dropped``
-    additionally logs how many rows the cap discarded (costs one extra
+    verify (whose cost is O(B^2) in memory and time): oversized buckets
+    are truncated to their first ``max_bucket`` rows by id — pairs
+    among the kept rows still surface the hot group (a wholesale drop
+    would silently zero recall for it) — and pairs between kept and
+    truncated rows are forfeited; ``None`` disables.  ``count_dropped``
+    additionally logs how many rows the cap truncated (costs one extra
     job).
     """
     if n_tables < 1:
@@ -461,24 +464,27 @@ def embedding_near_dup(df: DataFrame, id_col: str = "vec_id",
     # whole bucket and computes M @ M.T, so one pathological bucket —
     # e.g. millions of all-zero/default embeddings landing in the
     # all-sign-bits-off bucket — is O(B^2) memory in a single task.
-    # Drop oversized buckets before the groupBy-apply and log how many
-    # rows that discarded (those rows keep their chances in the OTHER
-    # n_tables-1 tables, whose plane sets bucket them differently).
+    # Oversized buckets are TRUNCATED to their first max_bucket rows
+    # (deterministic id order), not dropped wholesale: dropping zeroes
+    # recall for exactly the duplicate mass a near-dup operator exists
+    # to find (at the default n_tables=1 no other table rescues the
+    # rows), while truncation still surfaces the hot group through the
+    # pairs among its kept rows and keeps the verify O(max_bucket^2).
     if max_bucket is not None:
-        sized = bucketed.withColumn(
-            "_bsz", F.count("*").over(Window.partitionBy("table", "bucket")))
+        w = Window.partitionBy("table", "bucket").orderBy(id_col)
+        sized = bucketed.withColumn("_rn", F.row_number().over(w))
         if count_dropped:
-            # dropped-rows accounting costs one extra job (it re-runs
+            # truncated-rows accounting costs one extra job (it re-runs
             # the bucketing UDF), so it's opt-in
-            n_dropped = sized.where(F.col("_bsz") > max_bucket).count()
+            n_dropped = sized.where(F.col("_rn") > max_bucket).count()
             if n_dropped:
                 import logging
                 logging.getLogger(__name__).warning(
-                    "embedding_near_dup: dropping %d bucket rows over "
+                    "embedding_near_dup: truncating %d bucket rows over "
                     "max_bucket=%d (raise n_planes to split hot buckets, "
                     "or max_bucket to widen the verify budget)",
                     n_dropped, max_bucket)
-        bucketed = sized.where(F.col("_bsz") <= max_bucket).drop("_bsz")
+        bucketed = sized.where(F.col("_rn") <= max_bucket).drop("_rn")
 
     def verify(pdf: pd.DataFrame) -> pd.DataFrame:
         if len(pdf) < 2:

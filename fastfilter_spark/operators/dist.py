@@ -735,6 +735,16 @@ def semi_join_prune(fact: DataFrame, fact_key: str, sf: ShardedFilter,
     this is the difference between shuffling the full fact table and
     shuffling the ~matching fraction.  The final exact join removes the
     <=2^-8/2^-16 false positives, so results are exact.
+
+    ``broadcast_dim=True`` (default) force-broadcasts the dim side with
+    no size check — right for this function's target shape (a dim small
+    enough that its keys also fit in the broadcast filter), and
+    deliberate rather than autoBroadcastJoinThreshold-dependent (a dim
+    just past the threshold would silently become a full shuffle of the
+    pruned fact side).  For a dim too large to broadcast (Spark's 8 GB
+    broadcast-table limit / executor memory), pass
+    ``broadcast_dim=False`` to get a shuffle semi join — and consider
+    ``probe_via_join``, the driver-free path built for that regime.
     """
     spark = fact.sparkSession
     # where(udf) over mapInArrow: only the key column crosses to Python,

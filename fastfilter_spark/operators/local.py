@@ -425,6 +425,16 @@ class FuseFilter:
         native kernel and the numpy tier implement the 4-wise map
         (ffkernel.c ff_fuse_prepare4/ff_peel_pre4; differential-tested
         in tests/test_native.py).
+
+        WIRE-FORMAT NOTE (arity 4 only): the 4-wise cell map's offset
+        windows changed in round 3 (now drawn from a second murmur mix;
+        the previous derivation overlapped the segment-map bits and
+        left large builds unpeelable), so arity-4 payloads serialized
+        by earlier revisions probe incorrectly under this code and vice
+        versa.  The wire layout itself is unchanged and carries no hash
+        version, so the mismatch is NOT detected — rebuild any
+        pre-round-3 arity-4 blobs.  Arity-3 payloads (the
+        reference-compatible format) are unaffected at every revision.
         """
         if arity not in (3, 4):
             raise ValueError("arity must be 3 or 4")

@@ -32,68 +32,22 @@ from fastfilter_spark.functions.sketches import (
     Bloom, CountMin, HyperLogLog, KLL, TDigest, ThetaKMV, sketch_from_bytes,
 )
 
-_BLOB_SCHEMA = "sketch binary"
-
-
-def _partial_map(factory: Callable[[], object], colname: str, as_float: bool):
-    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        sk = None
-        for pdf in batches:
-            vals = pdf[colname].dropna().to_numpy()
-            if vals.size == 0:
-                continue
-            if sk is None:
-                sk = factory()
-            sk.update(vals.astype(np.float64) if as_float
-                      else vals.astype(np.int64))
-        if sk is not None:
-            yield pd.DataFrame({"sketch": [sk.to_bytes()]})
-    return fn
-
-
-def _merge_map(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-    acc = None
-    for pdf in batches:
-        for blob in pdf["sketch"]:
-            sk = sketch_from_bytes(bytes(blob))
-            acc = sk if acc is None else acc.merge(sk)
-    if acc is not None:
-        yield pd.DataFrame({"sketch": [acc.to_bytes()]})
-
-
 def sketch_column(df: DataFrame, col: str, factory: Callable[[], object],
                   as_float: bool = False, tree_fanout: int = 64):
     """Aggregate ``df[col]`` into one sketch via partials + tree merge.
 
     ``as_float`` selects float64 ingestion (KLL/t-digest); default int64
     (HLL/CMS/Bloom expect integer keys — hash strings first, e.g. with
-    ``F.xxhash64``).  Returns the merged sketch object.
+    ``F.xxhash64``).  Returns the merged sketch object (a fresh
+    ``factory()`` when the input has no non-null rows).
 
-    Nulls are dropped JVM-side BEFORE the Arrow boundary: a nullable
-    long column with any null reaching pandas arrives as float64, and a
-    float64 round-trip silently corrupts 64-bit keys above 2^53.
+    The single-sketch case of ``multi_sketch_column`` — one pipeline, so
+    a fix to the partials/tree-merge plan (null handling at the Arrow
+    boundary, fanout sizing) lands in both entry points at once.
     """
-    partials = df.select(F.col(col).alias(col)).dropna(subset=[col]) \
-        .mapInPandas(_partial_map(factory, col, as_float), schema=_BLOB_SCHEMA)
-
-    # merge-tree sizing: defaultParallelism approximates the input task
-    # count without df.rdd.getNumPartitions(), which would convert the
-    # analyzed plan to an RDD just to read a number (VERDICT r1 note).
-    # Underestimating only means more blobs per merge bucket — blobs are
-    # KBs, so any estimate in the right order of magnitude is fine.
-    n_parts = df.sparkSession.sparkContext.defaultParallelism
-    if n_parts > tree_fanout:
-        buckets = max(1, math.ceil(n_parts / tree_fanout))
-        partials = partials.repartition(buckets) \
-            .mapInPandas(_merge_map, schema=_BLOB_SCHEMA)
-
-    blobs = [bytes(r["sketch"]) for r in partials.collect()]
-    if not blobs:
-        return factory()
-    acc = sketch_from_bytes(blobs[0])
-    for b in blobs[1:]:
-        acc = acc.merge(sketch_from_bytes(b))
-    return acc
+    merged = multi_sketch_column(df, col, {"s": factory},
+                                 as_float=as_float, tree_fanout=tree_fanout)
+    return merged.get("s", factory())
 
 
 _NAMED_BLOB_SCHEMA = "name string, sketch binary"
@@ -145,9 +99,17 @@ def multi_sketch_column(df: DataFrame, col: str,
     Returns {name: merged sketch} for names that saw data; names whose
     input was empty are absent (callers keep their running state).
     """
+    # nulls are dropped JVM-side BEFORE the Arrow boundary: a nullable
+    # long column with any null reaching pandas arrives as float64, and
+    # a float64 round-trip silently corrupts 64-bit keys above 2^53
     partials = df.select(F.col(col).alias(col)).dropna(subset=[col]) \
         .mapInPandas(_multi_partial_map(factories, col, as_float),
                      schema=_NAMED_BLOB_SCHEMA)
+    # merge-tree sizing: defaultParallelism approximates the input task
+    # count without df.rdd.getNumPartitions(), which would convert the
+    # analyzed plan to an RDD just to read a number (VERDICT r1 note).
+    # Underestimating only means more blobs per merge bucket — blobs
+    # are KBs, so any estimate in the right order of magnitude is fine.
     n_parts = df.sparkSession.sparkContext.defaultParallelism
     if n_parts > tree_fanout:
         buckets = max(1, math.ceil(n_parts / tree_fanout))
@@ -201,8 +163,16 @@ def _keyed_long(df: DataFrame, col: str,
     dtype = dict(df.dtypes)[col]
     if hash_strings_col is None:
         hash_strings_col = dtype in ("string", "binary")
-    return (df.select(F.xxhash64(F.col(col)).alias(col)) if hash_strings_col
-            else df.select(F.col(col).cast("long").alias(col)))
+    # drop nulls on the SOURCE column before any transform: Spark's
+    # xxhash64(NULL) is 42 (the seed), not NULL, so hashing first would
+    # insert a phantom member for every null row — wrong for distinct
+    # counts (SQL COUNT(DISTINCT) excludes nulls) and a guaranteed
+    # false positive for every null-keyed Bloom probe.  The cast path
+    # keeps its null-out-on-failed-cast behavior (dropped downstream).
+    nonnull = df.where(F.col(col).isNotNull())
+    return (nonnull.select(F.xxhash64(F.col(col)).alias(col))
+            if hash_strings_col
+            else nonnull.select(F.col(col).cast("long").alias(col)))
 
 
 def theta_sketch(df: DataFrame, col: str, k: int = 4096,
@@ -291,14 +261,18 @@ def bloom_contains_udf(bloom: Bloom, spark=None,
 
     def probe(col):
         # NULL probe keys -> False JVM-side, BEFORE the UDF (build-side
-        # dropna never inserts nulls, so "not a member" is exact).  The
-        # mask cannot live inside the UDF: one null in an Arrow int64
-        # batch degrades the whole pandas series to float64, corrupting
-        # every hash > 2^53 into false negatives.  coalesce keeps the
-        # UDF input non-null (the placeholder 0 probe is discarded by
-        # the outer when); this also covers failed long casts.
+        # _keyed_long drops source nulls pre-hash, so "not a member" is
+        # exact).  The guard must test the SOURCE column, not the keyed
+        # expression: xxhash64(NULL) is 42 (never NULL), so a
+        # keyed.isNull() check is dead code on the hashed path and a
+        # null probe would hit contains(42) at the bloom's fpp rate.
+        # The mask cannot live inside the UDF: one null in an Arrow
+        # int64 batch degrades the whole pandas series to float64,
+        # corrupting every hash > 2^53 into false negatives.  coalesce
+        # keeps the UDF input non-null (the placeholder 0 probe is
+        # discarded by the outer when); this also covers failed casts.
         keyed = F.xxhash64(col) if hashed_input else col.cast("long")
-        return F.when(keyed.isNull(), F.lit(False)) \
+        return F.when(col.isNull() | keyed.isNull(), F.lit(False)) \
             .otherwise(contains(F.coalesce(keyed, F.lit(0))))
 
     return probe

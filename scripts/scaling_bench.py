@@ -86,6 +86,21 @@ def _lost_cpu_s(wall_s: float, jiffies_delta: int) -> float:
     return max(0.0, wall_s * _NCPU - jiffies_delta / 100.0)
 
 
+def _stat_counters() -> tuple[int, int, int]:
+    """(steal, busy, total) jiffies from ONE /proc/stat read — the
+    shared reader for callers (bench.py's calm gate) that sample all
+    three counters at the same instant.  bench.py imports this module
+    rather than keeping its own copy: the spin-probe work loop below
+    MUST be byte-identical across processes for the settled() 0.85 *
+    spin_max comparison to mean anything, and one definition enforces
+    that."""
+    with open("/proc/stat") as f:
+        parts = f.readline().split()
+    busy = sum(int(parts[i]) for i in (1, 2, 3, 6, 7, 8))
+    total = sum(int(x) for x in parts[1:])
+    return int(parts[8]), busy, total
+
+
 def _spin_mops(dur: float = 0.25) -> float:
     """Effective single-core speed probe (fixed integer work per
     iteration): the fourth contamination counter.  A co-tenant VM on
@@ -192,8 +207,18 @@ def run_level(cpus: int) -> dict:
     spin_best = 0.0
     build_runs: list[dict] = []
     sf = None
+    # wall-clock cap on the timed-run loop: in a calm window RUNS runs
+    # cost well under this, but inside a storm each 6 s build can take
+    # 30-70 s and one level would otherwise eat the caller's whole pair
+    # budget — better to stop, let the caller wait out the storm, and
+    # spend the budget on a fresh attempt of the whole level
+    level_budget = float(os.environ.get("SCALING_LEVEL_BUDGET_S", "150"))
+    runs_t0 = time.perf_counter()
     runs_left, extras_left = RUNS, 2
     while runs_left > 0:
+        if (build_runs
+                and time.perf_counter() - runs_t0 > level_budget):
+            break
         runs_left -= 1
         spin_pre = _spin_mops()
         s0 = steal_jiffies()

@@ -184,8 +184,17 @@ def test_embedding_near_dup_caps_hot_buckets(spark):
                                 max_bucket=64).collect()
     got = {(r["id_a"], r["id_b"]) for r in capped}
     assert (0, 1000) in got                      # planted pair survives
-    # the 300-identical-vector bucket (O(B^2) verify) was dropped
-    assert not any(a >= 2000 and b >= 2000 for a, b in got)
+    # the 300-identical-vector bucket (O(B^2) verify) was TRUNCATED to
+    # its first 64 rows: the hot group still surfaces through the pairs
+    # among kept rows (a wholesale drop would hide it entirely), but the
+    # per-task verify stays bounded at max_bucket^2
+    hot_pairs = {(a, b) for a, b in got if a >= 2000 and b >= 2000}
+    assert hot_pairs, "hot group must not vanish from the result"
+    # kept rows = first 64 by id in the hot bucket; non-hot cohabitants
+    # may take a few slots, so the hot-pair count is C(k,2) for some
+    # 60 <= k <= 64 — bounded far below the uncapped 300*299/2 flood
+    assert 60 * 59 // 2 <= len(hot_pairs) <= 64 * 63 // 2
+    assert max(max(a, b) for a, b in hot_pairs) < 2000 + 64
     # uncapped, the hot bucket floods the result with ~300*299/2 pairs
     flood = embedding_near_dup(df, threshold=0.95, n_planes=8,
                                max_bucket=None)
@@ -285,3 +294,32 @@ def test_checkpoint_fingerprint_distinguishes_queries(spark, sf_dir,
     with pytest.raises(ValueError, match="different input"):
         build_sharded_table(li, "l_orderkey", kind="fuse8", shard_bits=2,
                             checkpoint_dir=ckpt)
+
+
+# ---------------------------------------------------------------------------
+# review: NULL keys through the bloom build/probe path
+# ---------------------------------------------------------------------------
+
+def test_bloom_null_keys_excluded_and_probe_false(spark):
+    """Spark's xxhash64(NULL) is 42, not NULL: hashing before the null
+    drop used to insert a phantom member for every null build row, and
+    the probe's keyed.isNull() guard was dead code on the hashed path
+    (a NULL probe hit contains(42)).  Build-side nulls must not become
+    members; NULL probes must return exactly False."""
+    from fastfilter_spark.operators.sketch_agg import (
+        bloom_contains_udf, bloom_sketch, hll_count_distinct)
+    df = spark.createDataFrame(
+        [("a",), ("b",), (None,), ("c",), (None,)], "k string")
+    bf = bloom_sketch(df, "k", capacity=100, fpp=1e-4)
+    probe = bloom_contains_udf(bf, spark)
+    rows = {r["k"]: r["m"] for r in
+            df.select("k", probe(F.col("k")).alias("m")).collect()}
+    assert rows["a"] and rows["b"] and rows["c"]
+    assert rows[None] is False          # NULL probe -> exact False
+    # the phantom key 42 (xxhash64 of NULL) must not be a member: probe
+    # a long column equal to 42 against a hand-keyed filter
+    import numpy as np
+    assert not bf.contains(np.array([42], dtype=np.int64))[0]
+    # and HLL distinct counts exclude nulls, like SQL COUNT(DISTINCT)
+    est = hll_count_distinct(df, "k")
+    assert abs(est - 3) < 1
