@@ -400,6 +400,16 @@ def main() -> None:
                 f"external busy "
                 f"{[levels[c]['level_external_busy_cpu_s'] for c in (2, 8)]}"
                 " cpu-s — re-running both levels")
+        else:
+            # natural exit = attempt cap after a final miss: say so, or
+            # the trailing "re-running both levels" note would
+            # misrepresent a real measured miss as an aborted retry
+            if 2 in levels and 8 in levels:
+                retries.append(
+                    f"attempt cap reached: final build efficiency "
+                    f"{eff('build_keys_per_sec', 2, 8)} recorded as "
+                    f"measured (settled: local2={settled(2)} "
+                    f"local8={settled(8)})")
 
         if budget_left():
             wait_calm()

@@ -260,6 +260,8 @@ def bloom_contains_udf(bloom: Bloom, spark=None,
         return pd.Series(cached[0].contains(vals))
 
     def probe(col):
+        if isinstance(col, str):
+            col = F.col(col)   # accept a column name like F.* builtins
         # NULL probe keys -> False JVM-side, BEFORE the UDF (build-side
         # _keyed_long drops source nulls pre-hash, so "not a member" is
         # exact).  The guard must test the SOURCE column, not the keyed

@@ -67,7 +67,17 @@ SHARD_BITS = int(os.environ.get("CLUSTER_SHARD_BITS", 6))
 # — and is a config nobody deploys).  2 cores keeps the 4N side at 16
 # CPUs, half the machine, away from the whole-box contention knee.
 CORES_PER_EXEC = int(os.environ.get("CLUSTER_CORES_PER_EXEC", 2))
-MASTER_PORT = int(os.environ.get("CLUSTER_MASTER_PORT", 7077))
+def _free_port() -> int:
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        return s.getsockname()[1]
+
+
+# a DYNAMIC free port by default: binding a fixed 7077 would silently
+# attach this run to a stale master left by a SIGKILLed previous run
+# (its workers, its pinning) and record numbers from the wrong topology
+MASTER_PORT = (int(os.environ["CLUSTER_MASTER_PORT"])
+               if "CLUSTER_MASTER_PORT" in os.environ else _free_port())
 _NCPU = os.cpu_count() or 1
 
 
@@ -106,6 +116,13 @@ class Cluster:
         self.procs: list[subprocess.Popen] = []
 
     def __enter__(self):
+        total = self.n_workers * self.cores
+        if total > _NCPU:
+            raise ValueError(
+                f"{self.n_workers} workers x {self.cores} cores = {total} "
+                f"CPUs > {_NCPU} available — the per-worker cpusets would "
+                "overlap and the 'pinned disjoint executors' claim would "
+                "be false; use fewer/smaller workers")
         os.makedirs(self.work_dir, exist_ok=True)
         env = dict(os.environ,
                    SPARK_MASTER_HOST="127.0.0.1",
@@ -113,18 +130,38 @@ class Cluster:
                    SPARK_LOG_DIR=self.work_dir,
                    SPARK_WORKER_DIR=self.work_dir,
                    SPARK_LOCAL_IP="127.0.0.1")
+        # the zip shipped via spark.submit.pyFiles must be the ONLY way
+        # executors can import the package: a PYTHONPATH pointing at the
+        # repo (set at this module's import for the DRIVER side) would
+        # silently mask a broken zip and certify a --py-files deployment
+        # that was never exercised
+        env.pop("PYTHONPATH", None)
         sc = _spark_class()
+        # master and driver live on the CPUs ABOVE the worker range (the
+        # docstring's driver-node claim is enforced, not aspirational):
+        # driver work during a timed build (scheduling, payload collect)
+        # scheduled onto worker CPUs would deflate measured efficiency
+        total = self.n_workers * self.cores
+        self.off_worker_cpus = (set(range(total, _NCPU))
+                                if total < _NCPU else None)
+        if self.off_worker_cpus:
+            os.sched_setaffinity(0, self.off_worker_cpus)  # driver
+
+        def pin_master():
+            if self.off_worker_cpus:
+                os.sched_setaffinity(0, self.off_worker_cpus)
+
         log = open(os.path.join(self.work_dir, "master.log"), "w")
         self.procs.append(subprocess.Popen(
             [sc, "org.apache.spark.deploy.master.Master",
              "-h", "127.0.0.1", "-p", str(MASTER_PORT),
              "--webui-port", "0"],
-            env=env, stdout=log, stderr=subprocess.STDOUT))
+            env=env, stdout=log, stderr=subprocess.STDOUT,
+            preexec_fn=pin_master))
         _wait_port(MASTER_PORT)
         for i in range(self.n_workers):
             wlog = open(os.path.join(self.work_dir, f"worker{i}.log"), "w")
-            cpus = {(i * self.cores + j) % _NCPU
-                    for j in range(self.cores)}
+            cpus = {i * self.cores + j for j in range(self.cores)}
 
             def pin(cs=cpus):
                 os.sched_setaffinity(0, cs)
@@ -176,7 +213,6 @@ def run_size(n_execs: int) -> dict:
             .config("spark.executor.memory", f"{1 + 2 * CORES_PER_EXEC}g")
             .config("spark.cores.max", str(n_execs * CORES_PER_EXEC))
             .config("spark.submit.pyFiles", zpath)
-            .config("spark.executorEnv.PYTHONPATH", _REPO)
             .config("spark.sql.shuffle.partitions",
                     str(max(n_execs, 1 << SHARD_BITS)))
             .config("spark.sql.adaptive.enabled", "true")
@@ -276,7 +312,7 @@ def main():
         return
 
     sizes = [int(x) for x in
-             os.environ.get("CLUSTER_SIZES", "1,4").split(",")]
+             os.environ.get("CLUSTER_SIZES", "2,8").split(",")]
     calm_budget = [float(os.environ.get("CLUSTER_CALM_WAIT_S", "300"))]
     spin_max = [0.0]
 
@@ -286,14 +322,19 @@ def main():
         busy AND relative core speed (bounded by the shared budget)."""
         clean = 0
         while calm_budget[0] > 0 and clean < consecutive:
-            s0, b0, _ = _sb._stat_counters()
+            s0, b0, j0 = _sb._stat_counters()
+            t0 = time.perf_counter()
             time.sleep(window)
-            s1, b1, _ = _sb._stat_counters()
+            dt = time.perf_counter() - t0
+            s1, b1, j1 = _sb._stat_counters()
             calm_budget[0] -= window
+            # lost = VM-pause: wall advances, ALL jiffies freeze —
+            # invisible to steal, busy and the bracketing spin probes
+            lost = _sb._lost_cpu_s(dt, j1 - j0)
             spin = _sb._spin_mops()
             spin_max[0] = max(spin_max[0], spin)
             if ((s1 - s0) / 100.0 < 1.0 and (b1 - b0) / 100.0 < 2.5
-                    and spin >= 0.9 * spin_max[0]):
+                    and lost < 1.0 and spin >= 0.9 * spin_max[0]):
                 clean += 1
             else:
                 clean = 0
@@ -319,6 +360,7 @@ def main():
         spin_max[0] = max(spin_max[0],
                           *(x["spin_mops"] for x in r["build_runs"]))
         if (br["steal_cpu_s"] > 1 or br["external_busy_cpu_s"] > 2.5
+                or br["lost_cpu_s"] > 2.0
                 or br["spin_mops"] < 0.85 * spin_max[0]):
             # best run contaminated: wait out the storm once and keep
             # the faster of the two passes
