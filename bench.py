@@ -136,6 +136,26 @@ def main() -> None:
     throughput["fuse8_probe_keys_per_sec"] = round(
         n_keys / timings["fuse8_probe_urls"], 1)
     assert n_pass == n_keys, "false negatives detected"
+
+    # 2b. the driver-free probe path (probe_via_join over the filter
+    # TABLE — the TB-scale route where no executor holds the whole
+    # filter); table persisted so the timed runs measure the cogroup
+    # probe, not a rebuild
+    from fastfilter_spark.operators.dist import (
+        build_sharded_table, probe_via_join)
+    ftable = build_sharded_table(wp_keys, "key", kind="fuse8",
+                                 shard_bits=6).persist()
+    ftable.count()
+
+    def probe_join():
+        return probe_via_join(wp_keys, "key", ftable, num_shards=64) \
+            .where(F.col("member")).count()
+
+    n_pass_j = timed("fuse8_probe_via_join", probe_join)
+    throughput["fuse8_probe_join_keys_per_sec"] = round(
+        n_keys / timings["fuse8_probe_via_join"], 1)
+    assert n_pass_j == n_keys, "false negatives via join probe"
+    ftable.unpersist()
     wp_keys.unpersist()
 
     # 3. filter build over parquet keys (scan -> shuffle -> build)
