@@ -596,6 +596,108 @@ def q_ivf_fullprobe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("rank", "vec_id")
 
 
+# ---------------------------------------------------------------------------
+# web-pipeline operators (urls, vocabulary, decontamination, sampling)
+# ---------------------------------------------------------------------------
+
+def _synthetic_url(spark_side: bool):
+    """The SAME url expression in both engines: mixed-case scheme/host,
+    a default port, and a fragment — everything url_normalize must
+    strip/fold — built from orders keys so DuckDB can build it too."""
+    if spark_side:
+        return F.concat(
+            F.lit("HTTPS://Sub"), (F.col("o_custkey") % 7).cast("string"),
+            F.lit(".Site"), (F.col("o_custkey") % 100).cast("string"),
+            F.when(F.col("o_custkey") % 3 == 0, F.lit(".Example.ORG:443/cat/"))
+            .when(F.col("o_custkey") % 3 == 1, F.lit(".Example.COM:443/cat/"))
+            .otherwise(F.lit(".Example.NET:443/cat/")),
+            (F.col("o_orderkey") % 50).cast("string"),
+            F.lit("/item#frag"), F.col("o_orderkey").cast("string"))
+    return ("concat('HTTPS://Sub', CAST(o_custkey % 7 AS VARCHAR), "
+            "'.Site', CAST(o_custkey % 100 AS VARCHAR), "
+            "CASE o_custkey % 3 WHEN 0 THEN '.Example.ORG:443/cat/' "
+            "WHEN 1 THEN '.Example.COM:443/cat/' "
+            "ELSE '.Example.NET:443/cat/' END, "
+            "CAST(o_orderkey % 50 AS VARCHAR), '/item#frag', "
+            "CAST(o_orderkey AS VARCHAR))")
+
+
+def q_url_parsing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """url_normalize / url_host / url_tld / registered_domain /
+    url_depth over synthetic crawl urls, aggregated per TLD.  The
+    oracle rebuilds the same urls and derives the expected values
+    ANALYTICALLY (it knows the canonical form), so Spark's regexp
+    normalization is checked against ground truth, not against a
+    twin implementation of itself."""
+    from fastfilter_spark.functions.urls import (
+        registered_domain, url_depth, url_host, url_normalize, url_tld)
+    o = _t(spark, sf_dir, "orders")
+    u = o.select(_synthetic_url(True).alias("url"))
+    n = u.select(url_normalize(F.col("url")).alias("nurl"))
+    return (n.select(
+                F.col("nurl"),
+                url_tld(F.col("nurl")).alias("tld"),
+                url_host(F.col("nurl")).alias("host"),
+                registered_domain(F.col("nurl")).alias("regdom"),
+                url_depth(F.col("nurl")).alias("depth"))
+            .groupBy("tld")
+            .agg(F.count("*").alias("n_urls"),
+                 F.count_distinct("host").alias("n_hosts"),
+                 F.count_distinct("regdom").alias("n_regdoms"),
+                 F.count_distinct("nurl").alias("n_norm_urls"),
+                 F.sum("depth").alias("sum_depth"))
+            .orderBy("tld"))
+
+
+def q_doc_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary building: document frequency of the corpus's top-20
+    tokens (distinct-per-doc explode -> hash agg)."""
+    from fastfilter_spark.functions.text import document_frequency
+    docs = _t(spark, sf_dir, "documents")
+    return (document_frequency(docs)
+            .orderBy(F.col("df").desc(), "token").limit(20))
+
+
+def q_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: eval set = every 10th doc; the
+    filter-pre-pruned broadcast anti join must remove EXACTLY the train
+    rows whose md5 matches an eval text (fuse8 false positives are
+    caught by the exact stage; false negatives don't exist)."""
+    from fastfilter_spark.operators.dedup import decontaminate
+    docs = _t(spark, sf_dir, "documents")
+    ev = docs.where(F.col("doc_id") % 10 == 0)
+    clean = decontaminate(docs, ev)
+    cont = decontaminate(docs, ev, invert=True)
+    return spark.createDataFrame(
+        [(docs.count(), ev.count(), cont.count(), clean.count())],
+        "n_train long, n_eval long, n_contaminated long, n_clean long")
+
+
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-mix sampling: 2 docs per (lang, source) cell, ranked by
+    md5(text) — fully deterministic, engine-portable."""
+    from fastfilter_spark.functions.text import stratified_sample
+    docs = _t(spark, sf_dir, "documents")
+    return (stratified_sample(docs, ["lang", "source"], 2,
+                              order_col=F.md5(F.col("text")))
+            .select("lang", "source", "doc_id")
+            .orderBy("lang", "source", "doc_id"))
+
+
+def q_token_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition signal: per-lang total vs distinct token
+    sums (integer components of the diversity ratio)."""
+    from fastfilter_spark.functions.text import distinct_token_ratio_columns
+    docs = _t(spark, sf_dir, "documents")
+    cols = distinct_token_ratio_columns(F.col("text"))
+    return (docs.select("lang", cols["n_tokens"].alias("_t"),
+                        cols["n_distinct_tokens"].alias("_d"))
+            .groupBy("lang")
+            .agg(F.sum("_t").alias("sum_tokens"),
+                 F.sum("_d").alias("sum_distinct_tokens"))
+            .orderBy("lang"))
+
+
 def q_webpages_invariant(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic synthesis: exactly n_pages rows and byte-identical
     re-extraction (the north-rule per-row invariant) — both constants a
@@ -708,6 +810,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rollup_orders": q_rollup_orders,
         "monthly_orders": q_monthly_orders,
         "json_extract": q_json_extract,
+        # web-pipeline (urls, vocabulary, decontamination, sampling)
+        "url_parsing": q_url_parsing,
+        "doc_frequency": q_doc_frequency,
+        "decontamination": q_decontamination,
+        "stratified_sample": q_stratified_sample,
+        "token_diversity": q_token_diversity,
         # sources
         "webpages_invariant": q_webpages_invariant,
         "image_features": q_image_features,
@@ -889,6 +997,56 @@ def oracle_sql() -> dict[str, str]:
             "(SELECT embedding FROM embeddings WHERE vec_id = 7)) DESC, vec_id) "
             "AS INT) AS rank, vec_id FROM embeddings "
             "ORDER BY rank LIMIT 5"),
+        # the url oracle derives every expected value ANALYTICALLY from
+        # the url recipe (it never runs a regex): host/tld/regdom/depth
+        # and the canonical normalized form are known by construction,
+        # so Spark's regexp normalization is checked against ground truth
+        "url_parsing": (
+            "WITH u AS (SELECT "
+            "CASE o_custkey % 3 WHEN 0 THEN 'org' WHEN 1 THEN 'com' "
+            "ELSE 'net' END AS tld, "
+            "'sub' || CAST(o_custkey % 7 AS VARCHAR) || '.site' || "
+            "CAST(o_custkey % 100 AS VARCHAR) || '.example.' || "
+            "CASE o_custkey % 3 WHEN 0 THEN 'org' WHEN 1 THEN 'com' "
+            "ELSE 'net' END AS host, "
+            "CAST(o_orderkey % 50 AS VARCHAR) AS seg FROM orders) "
+            "SELECT tld, CAST(count(*) AS BIGINT) AS n_urls, "
+            "CAST(count(DISTINCT host) AS BIGINT) AS n_hosts, "
+            "CAST(count(DISTINCT 'example.' || tld) AS BIGINT) AS n_regdoms, "
+            "CAST(count(DISTINCT 'https://' || host || '/cat/' || seg || "
+            "'/item') AS BIGINT) AS n_norm_urls, "
+            "CAST(sum(3) AS BIGINT) AS sum_depth "
+            "FROM u GROUP BY tld ORDER BY tld"),
+        "doc_frequency": (
+            "SELECT token, CAST(count(*) AS BIGINT) AS df FROM ("
+            "SELECT DISTINCT doc_id, tok.t AS token FROM documents, "
+            "UNNEST(list_filter(string_split_regex(lower(text), "
+            "'[^a-z]+'), x -> x <> '')) AS tok(t)) "
+            "GROUP BY token ORDER BY df DESC, token LIMIT 20"),
+        "decontamination": (
+            "SELECT CAST((SELECT count(*) FROM documents) AS BIGINT) "
+            "AS n_train, "
+            "CAST((SELECT count(*) FROM documents WHERE doc_id % 10 = 0) "
+            "AS BIGINT) AS n_eval, "
+            "CAST((SELECT count(*) FROM documents WHERE md5(text) IN "
+            "(SELECT md5(text) FROM documents WHERE doc_id % 10 = 0)) "
+            "AS BIGINT) AS n_contaminated, "
+            "CAST((SELECT count(*) FROM documents WHERE md5(text) NOT IN "
+            "(SELECT md5(text) FROM documents WHERE doc_id % 10 = 0)) "
+            "AS BIGINT) AS n_clean"),
+        "stratified_sample": (
+            "SELECT lang, source, doc_id FROM ("
+            "SELECT lang, source, doc_id, row_number() OVER ("
+            "PARTITION BY lang, source ORDER BY md5(text)) AS rn "
+            "FROM documents) t WHERE rn <= 2 "
+            "ORDER BY lang, source, doc_id"),
+        "token_diversity": (
+            "SELECT lang, CAST(sum(len(toks)) AS BIGINT) AS sum_tokens, "
+            "CAST(sum(len(list_distinct(toks))) AS BIGINT) "
+            "AS sum_distinct_tokens FROM ("
+            "SELECT lang, list_filter(string_split_regex(lower(text), "
+            "'[^a-z]+'), x -> x <> '') AS toks FROM documents) t "
+            "GROUP BY lang ORDER BY lang"),
         "webpages_invariant": (
             "SELECT CAST(2000 AS BIGINT) AS n_pages, "
             "CAST(0 AS BIGINT) AS n_mismatch"),

@@ -188,3 +188,73 @@ def lang_id_udf():
         return s.fillna("").map(one)
 
     return lang_id
+
+
+# ---------------------------------------------------------------------------
+# vocabulary / document frequency (JVM built-ins)
+# ---------------------------------------------------------------------------
+
+def word_tokens(text_col: Column) -> Column:
+    """Lower-cased alphabetic tokens as ``array<string>`` — the
+    SQL-portable tokenizer (split on non-letter runs, drop empties)
+    used by vocabulary building and token-diversity scoring.  Pure
+    codegen; a DuckDB oracle reproduces it with regexp_split + filter.
+    """
+    return F.filter(F.split(F.lower(text_col), r"[^a-z]+"),
+                    lambda t: t != "")
+
+
+def distinct_token_ratio_columns(text_col: Column) -> dict[str, Column]:
+    """Token-diversity signals (Gopher-style repetition filters): total
+    tokens and distinct tokens per document, both long.  A low
+    distinct/total ratio marks boilerplate/keyword-stuffed pages;
+    integer components are returned (not the float ratio) so exact
+    oracles and lossless aggregation stay possible."""
+    toks = word_tokens(text_col)
+    return {
+        "n_tokens": F.size(toks).cast("long"),
+        "n_distinct_tokens": F.size(F.array_distinct(toks)).cast("long"),
+    }
+
+
+def document_frequency(df, text_col: str = "text",
+                       min_df: int = 1):
+    """(token, df) — number of DOCUMENTS containing each token (not
+    term frequency): explode the per-document DISTINCT token set, then
+    one hash-aggregate.  The distinct-before-explode keeps the shuffle
+    at O(vocabulary x docs-containing), immune to within-document
+    repetition; token keys are zipf-skewed but partial (map-side)
+    aggregation absorbs the head before the exchange, so no salting is
+    needed for a count-only agg.  IDF = ln(N/df) is left to the caller
+    (floats would break exact oracle comparison; df is exact).
+    """
+    tok = df.select(F.explode(F.array_distinct(word_tokens(F.col(text_col))))
+                    .alias("token"))
+    out = tok.groupBy("token").agg(F.count("*").alias("df"))
+    return out.where(F.col("df") >= min_df) if min_df > 1 else out
+
+
+def stratified_sample(df, strata_cols: list[str], n_per_stratum: int,
+                      order_col: Column | None = None):
+    """Deterministic n-per-group sample: rank rows inside each stratum
+    by a content hash (md5 of the row's ``order_col``, uniform and
+    engine-portable) and keep the first ``n_per_stratum``.
+
+    The standard training-mix op ("k docs per (lang, source) cell").
+    Window row_number is one shuffle on the strata key; per-group state
+    is O(1).  For pathologically hot single strata at 10^12 rows, a
+    two-phase pre-rank (per-partition top-n via the same window over
+    (stratum, partition_id), then the final window over winners — at
+    most n x partitions rows per stratum) bounds task input; that
+    refinement is a caller-side composition of this same function.
+    """
+    from pyspark.sql import Window
+    # default rank key: md5 over ALL columns — a per-row hash (hashing
+    # only the strata cols would rank every row in a stratum equal and
+    # leave the sample to shuffle order).  Pass order_col to rank by a
+    # single stable column (e.g. md5(text)) when rows may share values.
+    order = order_col if order_col is not None else F.md5(
+        F.concat_ws("\x1f", *[F.col(c).cast("string") for c in df.columns]))
+    w = Window.partitionBy(*strata_cols).orderBy(order)
+    return (df.withColumn("_rank", F.row_number().over(w))
+            .where(F.col("_rank") <= n_per_stratum).drop("_rank"))

@@ -504,3 +504,55 @@ def embedding_near_dup(df: DataFrame, id_col: str = "vec_id",
     return bucketed.groupBy("table", "bucket").applyInPandas(
         verify, schema="id_a long, id_b long, cosine double") \
         .dropDuplicates(["id_a", "id_b"])
+
+
+# ---------------------------------------------------------------------------
+# 6. benchmark decontamination (exact, filter-accelerated)
+# ---------------------------------------------------------------------------
+
+def decontaminate(train: DataFrame, eval_df: DataFrame,
+                  text_col: str = "text", eval_text_col: str | None = None,
+                  kind: str = "fuse8", shard_bits: int = 0,
+                  invert: bool = False) -> DataFrame:
+    """Remove train rows whose exact text appears in an eval/benchmark
+    set (``invert=True`` returns the contaminated rows instead).
+
+    The standard pre-training decontamination shape: the eval set is
+    small (10^3..10^7 texts) against a 10^12-row train corpus, so the
+    train side must cross the cluster exactly once, unshuffled:
+
+    1. an approximate-membership filter (this library's sharded fuse8)
+       over the eval CONTENT KEYS is broadcast; a vectorized probe
+       marks each train row maybe-contaminated.  Filters have no false
+       negatives, so no contaminated row can slip past the probe.
+    2. the exact check hides inside a *derived join key*:
+       ``when(maybe, md5(text))`` — NULL for the ~everything that
+       missed the filter.  A broadcast LEFT ANTI hash join against the
+       distinct eval md5 fingerprints then removes exactly the true
+       matches (NULL keys never equal anything, so filter-missed rows
+       survive without ever being compared).  The plan stays a single
+       scan + BroadcastHashJoin(LeftAnti): no shuffle of train, no
+       nested-loop from a non-equi condition, and the 2^-8 false
+       positives of step 1 cost only a broadcast-hash lookup each.
+
+    Exactness: final membership is decided on the md5 fingerprint, not
+    the 64-bit probe key, so filter/key collisions cannot drop a clean
+    row.  ``shard_bits=0`` (one shard) is right for broadcastable eval
+    sets; raise it when the eval set itself is huge.
+    """
+    from fastfilter_spark.functions.text import content_key, doc_fingerprint
+    from fastfilter_spark.operators.dist import build_sharded
+
+    ecol = eval_text_col or text_col
+    spark = train.sparkSession
+    ev_keys = eval_df.select(content_key(F.col(ecol)).alias("key")) \
+        .dropDuplicates()
+    sf, _ = build_sharded(ev_keys, "key", kind=kind, shard_bits=shard_bits)
+    maybe = sf.contains_udf(spark)(content_key(F.col(text_col)))
+    ev_fp = eval_df.select(doc_fingerprint(F.col(ecol)).alias("_eval_fp")) \
+        .distinct()
+    dk = F.when(maybe, doc_fingerprint(F.col(text_col)))
+    how = "left_semi" if invert else "left_anti"
+    return train.withColumn("_dk", dk).join(
+        F.broadcast(ev_fp), F.col("_dk") == F.col("_eval_fp"), how) \
+        .drop("_dk")
