@@ -249,12 +249,17 @@ def stratified_sample(df, strata_cols: list[str], n_per_stratum: int,
     refinement is a caller-side composition of this same function.
     """
     from pyspark.sql import Window
-    # default rank key: md5 over ALL columns — a per-row hash (hashing
-    # only the strata cols would rank every row in a stratum equal and
-    # leave the sample to shuffle order).  Pass order_col to rank by a
-    # single stable column (e.g. md5(text)) when rows may share values.
+    # default rank key: md5 over ALL columns, serialized as JSON — a
+    # per-row hash (hashing only the strata cols would rank every row
+    # in a stratum equal and leave the sample to shuffle order).  JSON,
+    # not concat_ws: concat_ws SKIPS null columns, so (x, NULL) and
+    # (NULL, x) — or values containing the separator — would collide on
+    # the rank key and re-introduce shuffle-order dependence for the
+    # tied rows.  to_json keeps field names and escapes values, so
+    # distinct rows get distinct keys.  Pass order_col to rank by a
+    # single stable column (e.g. md5(text)) for cross-engine oracles.
     order = order_col if order_col is not None else F.md5(
-        F.concat_ws("\x1f", *[F.col(c).cast("string") for c in df.columns]))
+        F.to_json(F.struct(*[F.col(c) for c in df.columns])))
     w = Window.partitionBy(*strata_cols).orderBy(order)
     return (df.withColumn("_rank", F.row_number().over(w))
             .where(F.col("_rank") <= n_per_stratum).drop("_rank"))

@@ -26,7 +26,10 @@ def url_host(url: Column) -> Column:
 
     Handles userinfo (``user@host``) and port suffixes; the host is the
     only case-insensitive part of a url, so it is folded here while the
-    path keeps its case (RFC 3986 §6.2.2.1).
+    path keeps its case (RFC 3986 §6.2.2.1).  IPv6 bracket literals are
+    not parsed specially (the inner colons truncate the capture) — at
+    crawl scale they are vanishingly rare and carry no TLD/registered
+    domain anyway; filter them out with ``url.contains('[')`` if needed.
     """
     return F.lower(F.regexp_extract(url, _HOST_RE, 1))
 
@@ -43,8 +46,10 @@ def url_depth(url: Column) -> Column:
 
 
 def url_tld(url: Column) -> Column:
-    """Last dot-label of the host ('' for dotless hosts such as
-    ``localhost`` or IP literals are returned as their last label)."""
+    """Last dot-label of the host.  Dotless hosts (``localhost``)
+    return the host itself and IPv4 literals their last octet — filter
+    on ``url_host(url).contains('.')`` / rlike to exclude them when
+    grouping by real TLDs."""
     return F.element_at(F.split(url_host(url), r"\."), -1)
 
 
@@ -61,28 +66,43 @@ def registered_domain(url: Column) -> Column:
         .otherwise(url_host(url))
 
 
+# authority split: scheme, optional userinfo (kept verbatim — it is
+# case-SENSITIVE per RFC 3986, unlike the host), host[:port]
+_AUTH_RE = r"^([a-zA-Z][a-zA-Z0-9+.-]*)://((?:[^/?#@]*@)?)([^/?#]*)"
+
+
 def url_normalize(url: Column) -> Column:
     """Canonical url for dedup/grouping keys:
 
-    - scheme and host lower-cased (path case preserved)
+    - scheme and host lower-cased; userinfo (``user:pw@``) and path
+      keep their case (both case-sensitive per RFC 3986 §6.2.2.1)
     - fragment stripped (``#...`` never reaches the server)
-    - default ports stripped (``:80`` for http, ``:443`` for https)
+    - default ports stripped (``:80`` for http, ``:443`` for https) —
+      matched on the host:port part AFTER the userinfo split, so a
+      colon inside credentials cannot confuse it, and IPv6 literals
+      (``[::1]:443``) strip correctly
     - trailing ``/`` of a bare-root url stripped (``http://a.com/`` ==
       ``http://a.com``) — deeper paths are left alone, ``/a/`` and
       ``/a`` can be different resources
+    - a string with no ``scheme://authority`` shape passes through
+      unchanged
 
-    Pure codegen (regexp_replace chain), so normalization runs at scan
+    Pure codegen (regexp chain), so normalization runs at scan
     throughput and Catalyst can still prune/push around it.
     """
     u = F.regexp_replace(url, r"#.*$", "")                    # fragment
-    # lowercase scheme://host prefix only
-    u = F.concat(
-        F.lower(F.regexp_extract(u, r"^([a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*)", 1)),
-        F.regexp_replace(u, r"^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*", ""))
-    # no lookahead (keeps the pattern RE2-compatible, so a DuckDB/RE2
-    # oracle can run the very same regex): capture the boundary char
-    u = F.regexp_replace(u, r"^(https://[^/?#:]*):443($|[/?#].*)", r"$1$2")
-    u = F.regexp_replace(u, r"^(http://[^/?#:]*):80($|[/?#].*)", r"$1$2")
+    scheme = F.lower(F.regexp_extract(u, _AUTH_RE, 1))
+    userinfo = F.regexp_extract(u, _AUTH_RE, 2)
+    hostport = F.lower(F.regexp_extract(u, _AUTH_RE, 3))
+    rest = F.regexp_replace(u, _AUTH_RE, "")
+    hostport = F.when(scheme == "https",
+                      F.regexp_replace(hostport, r":443$", "")) \
+        .when(scheme == "http", F.regexp_replace(hostport, r":80$", "")) \
+        .otherwise(hostport)
+    out = F.when(
+        scheme != "",
+        F.concat(scheme, F.lit("://"), userinfo, hostport, rest)) \
+        .otherwise(u)
     # bare root: nothing after the authority but '/'
-    u = F.regexp_replace(u, r"^([a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*)/$", r"$1")
-    return u
+    return F.regexp_replace(
+        out, r"^([a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*)/$", r"$1")

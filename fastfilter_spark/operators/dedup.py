@@ -545,6 +545,13 @@ def decontaminate(train: DataFrame, eval_df: DataFrame,
 
     ecol = eval_text_col or text_col
     spark = train.sparkSession
+    for helper in ("_decon_key", "_eval_fp"):
+        if helper in train.columns:
+            # withColumn would silently REPLACE the caller's column and
+            # the trailing drop would delete it from the result
+            raise ValueError(
+                f"train already has a column named {helper!r}, which "
+                "decontaminate uses internally; rename it first")
     ev_keys = eval_df.select(content_key(F.col(ecol)).alias("key")) \
         .dropDuplicates()
     sf, _ = build_sharded(ev_keys, "key", kind=kind, shard_bits=shard_bits)
@@ -553,6 +560,6 @@ def decontaminate(train: DataFrame, eval_df: DataFrame,
         .distinct()
     dk = F.when(maybe, doc_fingerprint(F.col(text_col)))
     how = "left_semi" if invert else "left_anti"
-    return train.withColumn("_dk", dk).join(
-        F.broadcast(ev_fp), F.col("_dk") == F.col("_eval_fp"), how) \
-        .drop("_dk")
+    return train.withColumn("_decon_key", dk).join(
+        F.broadcast(ev_fp), F.col("_decon_key") == F.col("_eval_fp"), how) \
+        .drop("_decon_key")

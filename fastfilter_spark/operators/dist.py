@@ -477,6 +477,7 @@ def build_sharded_table(
     keyed = keys_with_shard(df, key_col, shard_bits)
 
     done: set[int] = set()
+    requested_validation = validate_checkpoint
     if checkpoint_dir is not None:
         try:
             existing = spark.read.schema(FILTER_TABLE_SCHEMA) \
@@ -547,6 +548,44 @@ def build_sharded_table(
                     "would reuse stale payloads and produce false "
                     "negatives — use a fresh directory "
                     "(or validate_checkpoint=False to override)")
+        if done and requested_validation:
+            # behavioral spot-check, run even when the fingerprint fast
+            # path skipped the recount: row counts and input identity
+            # CANNOT catch a payload that is stale because the CODE
+            # changed under it (e.g. a 4-wise cell map from an older
+            # kernel version — same input, same counts, same layout,
+            # different hash mapping).  Probe a small sample of current
+            # input keys against their resumed shard payloads: a
+            # matching payload can never probe an inserted key negative
+            # (the zero-false-negative guarantee), so any miss proves
+            # the payload was built by incompatible code or over
+            # different keys.  Cost: one tiny sample job + a few
+            # KB..MB payload rows to the driver.
+            sample = keyed.select("shard", "key").limit(256).collect()
+            by_shard: dict[int, list] = {}
+            for r in sample:
+                s = int(r["shard"])
+                if s in done:
+                    by_shard.setdefault(s, []).append(r["key"])
+            check = sorted(by_shard)[:4]
+            if check:
+                pay = {int(r["shard"]): bytes(r["payload"])
+                       for r in existing
+                       .where(F.col("shard").isin([int(c) for c in check]))
+                       .select("shard", "payload").collect()}
+                for s in check:
+                    filt = filter_from_bytes(pay[s], kind, view=True)
+                    ks = K.to_uint64(np.asarray(by_shard[s],
+                                                dtype=np.int64))
+                    if not bool(filt.contain(ks).all()):
+                        raise ValueError(
+                            f"checkpoint_dir {checkpoint_dir}: shard {s} "
+                            "payload probes FALSE for keys present in the "
+                            "current input — the checkpoint was built over "
+                            "different keys or by an incompatible library "
+                            "version; resuming would produce false "
+                            "negatives.  Use a fresh directory (or "
+                            "validate_checkpoint=False to override)")
         if done:
             keyed = keyed.where(~F.col("shard").isin([int(s) for s in done]))
 

@@ -7,6 +7,7 @@ negatives both ways, byte-level self-consistency within a path, and
 bit-identical probe results on each other's filters.
 """
 
+import os
 import subprocess
 import sys
 
@@ -14,6 +15,8 @@ import numpy as np
 import pytest
 
 from fastfilter_spark.functions.native import get_kernel
+
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 pytestmark = pytest.mark.skipif(get_kernel() is None,
                                 reason="no C compiler available")
@@ -24,7 +27,7 @@ def _numpy_build(kind: str, keys: np.ndarray):
     numpy path (the flag is read once per process)."""
     code = (
         "import numpy as np, sys\n"
-        "sys.path.insert(0, '/root/repo')\n"
+        f"sys.path.insert(0, {_REPO!r})\n"
         "from fastfilter_spark.operators.local import build_filter\n"
         "keys = np.frombuffer(sys.stdin.buffer.read(), dtype=np.uint64)\n"
         f"f = build_filter(keys, '{kind}')\n"
@@ -102,7 +105,7 @@ def test_native_fpp_bound():
 def _numpy_build4(keys: np.ndarray, bits: int) -> bytes:
     code = (
         "import numpy as np, sys\n"
-        "sys.path.insert(0, '/root/repo')\n"
+        f"sys.path.insert(0, {_REPO!r})\n"
         "from fastfilter_spark.operators.local import FuseFilter\n"
         "keys = np.frombuffer(sys.stdin.buffer.read(), dtype=np.uint64)\n"
         f"f = FuseFilter.build(keys, fingerprint_bits={bits}, arity=4)\n"

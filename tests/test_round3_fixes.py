@@ -323,3 +323,46 @@ def test_bloom_null_keys_excluded_and_probe_false(spark):
     # and HLL distinct counts exclude nulls, like SQL COUNT(DISTINCT)
     est = hll_count_distinct(df, "k")
     assert abs(est - 3) < 1
+
+
+# ---------------------------------------------------------------------------
+# round-3 review: behavioral spot-check of resumed checkpoint payloads
+# ---------------------------------------------------------------------------
+
+def test_checkpoint_spot_check_catches_stale_payload(spark, tmp_path):
+    """Row counts and the input fingerprint CANNOT see a payload that is
+    stale because the code (or the keys) changed under identical counts
+    — e.g. an arity-4 checkpoint written by an older kernel whose cell
+    map differed.  The resume path must probe sampled input keys
+    against resumed payloads and refuse when an inserted key probes
+    negative (a compatible payload can never false-negative)."""
+    import shutil
+    from pyspark.sql import functions as F
+    dir_a = str(tmp_path / "ck_a")
+    dir_b = str(tmp_path / "ck_b")
+    df_a = spark.range(2000).select(F.xxhash64("id").alias("key"))
+    df_b = spark.range(2000, 4000).select(F.xxhash64("id").alias("key"))
+    build_sharded_table(df_a, "key", kind="fuse8", shard_bits=0,
+                        checkpoint_dir=dir_a).collect()
+    build_sharded_table(df_b, "key", kind="fuse8", shard_bits=0,
+                        checkpoint_dir=dir_b).collect()
+    # sanity: an honest resume passes the spot-check silently
+    build_sharded_table(df_a, "key", kind="fuse8", shard_bits=0,
+                        checkpoint_dir=dir_a).collect()
+    # swap A's payload part-files for B's: identical schema, identical
+    # per-shard input_rows (2000), same num_shards/kind/arity — every
+    # metadata check passes, only behavior differs
+    for name in os.listdir(dir_a):
+        if name.endswith(".parquet"):
+            os.remove(os.path.join(dir_a, name))
+    for name in os.listdir(dir_b):
+        if name.endswith(".parquet"):
+            shutil.copy(os.path.join(dir_b, name),
+                        os.path.join(dir_a, name))
+    with pytest.raises(ValueError, match="probes FALSE"):
+        build_sharded_table(df_a, "key", kind="fuse8", shard_bits=0,
+                            checkpoint_dir=dir_a).collect()
+    # explicit opt-out still works for power users
+    build_sharded_table(df_a, "key", kind="fuse8", shard_bits=0,
+                        checkpoint_dir=dir_a,
+                        validate_checkpoint=False).collect()
