@@ -66,6 +66,29 @@ def main() -> None:
         with open("/proc/stat") as f:
             return int(f.readline().split()[8])
 
+    # bounded calm-wait shared by ALL suite queries: when even the best
+    # run of a query saw steal, retrying immediately retries INTO the
+    # same storm (round-3 observation: a storm poisoned all 5 runs of
+    # the headline build at 86-350 cpu-s steal each, and the recorded
+    # best was 13x the calm value).  Waiting out a bounded slice of the
+    # storm before the extra runs is the only in-process recovery; the
+    # budget is shared so one long storm cannot starve the whole suite.
+    suite_calm_budget = [float(os.environ.get("SPARK_GRAFT_SUITE_CALM_S",
+                                              "180"))]
+
+    def wait_calm_suite(window: float = 3.0, consecutive: int = 2) -> None:
+        clean = 0
+        while suite_calm_budget[0] > 0 and clean < consecutive:
+            s0 = steal_jiffies()
+            time.sleep(window)
+            suite_calm_budget[0] -= window
+            # steal-only gate: our idle JVM keeps background threads
+            # warm, so a busy-CPU threshold would misfire here (the
+            # scaling phase, where nothing of ours runs, checks all
+            # four counters)
+            clean = clean + 1 if (steal_jiffies() - s0) / 100.0 < 1.0 \
+                else 0
+
     def timed(name: str, fn):
         # best-of-3 with per-run steal recorded: this sandbox VM has
         # random hypervisor/co-tenant CPU bursts, so single timings
@@ -88,9 +111,11 @@ def main() -> None:
             if dt < best:
                 best, best_steal = dt, st
             # a storm can poison all three scheduled runs; if even the
-            # BEST run saw steal, spend up to 2 extra runs so one query
-            # cannot decide the suite artifact from inside a storm
+            # BEST run saw steal, wait out a bounded slice of the storm
+            # and spend up to 2 extra runs so one query cannot decide
+            # the suite artifact from inside a storm
             if todo == 0 and best_steal > 1 and extras > 0:
+                wait_calm_suite()
                 todo, extras = 1, extras - 1
         timings[name] = round(best, 3)
         query_runs[name] = runs
@@ -470,6 +495,9 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "query_runs": query_runs,
+        "suite_calm_wait_spent_s": round(
+            float(os.environ.get("SPARK_GRAFT_SUITE_CALM_S", "180"))
+            - suite_calm_budget[0], 1),
         "sf": float(sf_label) if sf_label.replace(".", "").isdigit() else sf_label,
         "throughput": throughput,
         "parallelism": cpus,
