@@ -342,6 +342,28 @@ def q_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
                                  "n_exact long, within_bound int")
 
 
+def q_hll_by_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPED mergeable sketches (sketch_by_key): per-returnflag HLL
+    distinct orderkeys — partial sketches fold map-side, only KB blobs
+    shuffle.  Emits the exact distinct (SQL-checkable) plus a
+    within-3-sigma flag for the estimate, per key."""
+    import math
+
+    from fastfilter_spark.operators.sketch_agg import hll_distinct_by_key
+    li = _t(spark, sf_dir, "lineitem")
+    p = 12
+    est = hll_distinct_by_key(li, ["l_returnflag"], "l_orderkey", p=p)
+    exact = li.groupBy("l_returnflag").agg(
+        F.count_distinct("l_orderkey").alias("n_exact"))
+    bound = 3 * 1.04 / math.sqrt(1 << p)
+    return (exact.join(est, "l_returnflag")
+            .select("l_returnflag", "n_exact",
+                    (F.abs(F.col("approx_distinct") - F.col("n_exact"))
+                     / F.col("n_exact") <= bound).cast("int")
+                    .alias("within_bound"))
+            .orderBy("l_returnflag"))
+
+
 def q_multi_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One-pass multi-sketch aggregation (multi_sketch_column, the
     engine behind the distributed streaming sketch sink): HLL + KLL
@@ -795,6 +817,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_fullprobe_topk": q_ivf_fullprobe_topk,
         # sketches (north_rule)
         "hll_distinct": q_hll_distinct,
+        "hll_by_key": q_hll_by_key,
         "multi_sketch": q_multi_sketch,
         "kll_quantiles": q_kll_quantiles,
         "tdigest_quantiles": q_tdigest_quantiles,
@@ -932,6 +955,11 @@ def oracle_sql() -> dict[str, str]:
         "hll_distinct": (
             "SELECT count(DISTINCT l_orderkey) AS n_exact, "
             "CAST(1 AS INT) AS within_bound FROM lineitem"),
+        "hll_by_key": (
+            "SELECT l_returnflag, "
+            "count(DISTINCT l_orderkey) AS n_exact, "
+            "CAST(1 AS INT) AS within_bound FROM lineitem "
+            "GROUP BY l_returnflag ORDER BY l_returnflag"),
         "multi_sketch": (
             "SELECT count(l_orderkey) AS n_rows, "
             "count(DISTINCT l_orderkey) AS n_distinct, "

@@ -475,6 +475,20 @@ def main() -> None:
                 "levels": {str(c): levels[c] for c in levels},
                 "retries": retries,
                 "calm_waits_s": calm_log,
+                # machine-readable certification: True ONLY when the
+                # north-rule pair hit the >=0.8 target AND both levels'
+                # best builds ran clean on all four contamination
+                # counters.  A False here with a numerically-passing
+                # efficiency means the number is storm-distorted (a
+                # contaminated-slow local[2] INFLATES the ratio) — read
+                # the per-level columns, and BENCH.md's certified calm
+                # table, instead of this run's ratio.
+                "levels_settled": {str(c): bool(settled(c))
+                                   for c in levels},
+                "pair_certified": bool(
+                    2 in levels and 8 in levels and settled(2)
+                    and settled(8)
+                    and eff("build_keys_per_sec", 2, 8) >= 0.8),
             }
             for c in levels:
                 scaling[f"local{c}_build_keys_per_sec"] = \

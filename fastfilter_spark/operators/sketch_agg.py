@@ -296,3 +296,123 @@ def bloom_sketch(df: DataFrame, col: str, capacity: int | None = None,
     # record the build-side key prep so bloom_contains_udf can mirror it
     bf.spark_hashed_input = bool(hash_strings_col)
     return bf
+
+
+# -- grouped (per-key) sketch aggregation ------------------------------------
+
+def _grouped_partial_map(key_cols: list, col: str, factory, as_float: bool,
+                         max_partials: int):
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        sks: dict = {}
+
+        def flush() -> pd.DataFrame:
+            keys = list(sks)
+            data = {k: [kv[i] for kv in keys]
+                    for i, k in enumerate(key_cols)}
+            data["sketch"] = [s.to_bytes() for s in sks.values()]
+            return pd.DataFrame(data)
+
+        for pdf in batches:
+            for kv, sub in pdf.groupby(key_cols, sort=False):
+                if not isinstance(kv, tuple):
+                    kv = (kv,)
+                vals = sub[col].to_numpy()
+                arr = (vals.astype(np.float64) if as_float
+                       else vals.astype(np.int64))
+                sk = sks.get(kv)
+                if sk is None:
+                    sk = sks[kv] = factory()
+                sk.update(arr)
+            if len(sks) >= max_partials:
+                # bound task memory: emit current partials and restart;
+                # the downstream per-key merge makes this lossless
+                yield flush()
+                sks = {}
+        if sks:
+            yield flush()
+    return fn
+
+
+def sketch_by_key(df: DataFrame, key_cols: list[str], col: str,
+                  factory: Callable[[], object], as_float: bool = False,
+                  max_partials: int = 4096) -> DataFrame:
+    """Grouped mergeable sketch aggregation: ONE sketch per key group,
+    returned as (key_cols..., sketch binary) rows.
+
+    The classic mergeable-UDAF physical plan: each input task folds its
+    rows into per-key partial sketches IN PLACE (map-side combine — no
+    row ever shuffles), emits (key, blob) rows, and a single shuffle
+    merges blobs per key.  For distinct-URLs-per-host over 10^12 rows
+    the exchange carries |hosts seen| x |tasks| KB-blobs instead of
+    10^12 keys.  Skew is defused by construction: a key hot in N tasks
+    yields N partial blobs whose merge is KB-sized work, never a fat
+    task of raw rows — no salting needed.
+
+    ``max_partials`` bounds per-task state: a task seeing more distinct
+    keys flushes its partials and restarts the dict (correctness
+    unchanged — the per-key merge absorbs multiple blobs from one
+    task; memory stays <= max_partials x sketch_bytes).
+
+    Rows with a NULL value OR a NULL key are excluded (mirrors SQL
+    aggregate null semantics for values; null KEYS are dropped rather
+    than grouped because a nullable int64 key would cross Arrow as
+    float64 and corrupt values above 2^53 — pre-coalesce null keys to
+    a sentinel if you need them grouped).
+    """
+    cond = F.col(col).isNotNull()
+    for k in key_cols:
+        cond = cond & F.col(k).isNotNull()
+    src = df.select(*key_cols, col).where(cond)
+    key_schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}"
+        for f in src.schema.fields if f.name in key_cols)
+    blob_schema = key_schema + ", sketch binary"
+    partials = src.mapInPandas(
+        _grouped_partial_map(key_cols, col, factory, as_float,
+                             max_partials),
+        schema=blob_schema)
+
+    def merge(pdf: pd.DataFrame) -> pd.DataFrame:
+        acc = None
+        for b in pdf["sketch"]:
+            sk = sketch_from_bytes(bytes(b))
+            acc = sk if acc is None else acc.merge(sk)
+        out = {k: [pdf[k].iloc[0]] for k in key_cols}
+        out["sketch"] = [acc.to_bytes()]
+        return pd.DataFrame(out)
+
+    return partials.groupBy(*key_cols).applyInPandas(
+        merge, schema=blob_schema)
+
+
+def hll_distinct_by_key(df: DataFrame, key_cols: list[str], col: str,
+                        p: int = 12,
+                        hash_strings_col: bool | None = None) -> DataFrame:
+    """Approximate COUNT(DISTINCT col) GROUP BY key_cols via per-key
+    HLL sketches (see ``sketch_by_key`` for the plan shape).  Returns
+    (key_cols..., approx_distinct long); error is the published HLL
+    bound (sigma = 1.04/sqrt(2^p)) independently per key.
+    """
+    dtype = dict(df.dtypes)[col]
+    if hash_strings_col is None:
+        hash_strings_col = dtype in ("string", "binary")
+    nonnull = df.where(F.col(col).isNotNull())
+    val = (F.xxhash64(F.col(col)) if hash_strings_col
+           else F.col(col).cast("long"))
+    prepped = nonnull.select(*key_cols, val.alias("_hll_v"))
+    blobs = sketch_by_key(prepped, key_cols, "_hll_v",
+                          lambda: HyperLogLog(p))
+    key_schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}"
+        for f in prepped.schema.fields if f.name in key_cols)
+
+    def estimate(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = pdf[key_cols].copy()
+            out["approx_distinct"] = np.asarray(
+                [round(sketch_from_bytes(bytes(b)).estimate())
+                 for b in pdf["sketch"]], dtype=np.int64)
+            yield out
+
+    return blobs.mapInPandas(estimate,
+                             schema=key_schema + ", approx_distinct long")
