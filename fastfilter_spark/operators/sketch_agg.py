@@ -158,8 +158,13 @@ def tdigest_quantiles(df: DataFrame, col: str, qs: list[float],
     return [sk.quantile(q) for q in qs]
 
 
-def _keyed_long(df: DataFrame, col: str,
-                hash_strings_col: bool | None) -> DataFrame:
+def _keyed_long(df: DataFrame, col: str, hash_strings_col: bool | None,
+                extra_cols: tuple[str, ...] = (),
+                out_name: str | None = None) -> DataFrame:
+    """Canonical sketch-key prep shared by every sketch entry point
+    (global and grouped): dtype sniff, null drop, xxhash64-vs-cast.
+    ``extra_cols`` ride through untouched (grouped paths keep their key
+    columns); ``out_name`` renames the prepared value column."""
     dtype = dict(df.dtypes)[col]
     if hash_strings_col is None:
         hash_strings_col = dtype in ("string", "binary")
@@ -170,9 +175,9 @@ def _keyed_long(df: DataFrame, col: str,
     # false positive for every null-keyed Bloom probe.  The cast path
     # keeps its null-out-on-failed-cast behavior (dropped downstream).
     nonnull = df.where(F.col(col).isNotNull())
-    return (nonnull.select(F.xxhash64(F.col(col)).alias(col))
-            if hash_strings_col
-            else nonnull.select(F.col(col).cast("long").alias(col)))
+    val = (F.xxhash64(F.col(col)) if hash_strings_col
+           else F.col(col).cast("long"))
+    return nonnull.select(*extra_cols, val.alias(out_name or col))
 
 
 def theta_sketch(df: DataFrame, col: str, k: int = 4096,
@@ -321,13 +326,17 @@ def _grouped_partial_map(key_cols: list, col: str, factory, as_float: bool,
                        else vals.astype(np.int64))
                 sk = sks.get(kv)
                 if sk is None:
+                    if len(sks) >= max_partials:
+                        # bound task memory BEFORE inserting a new key
+                        # (checking only between Arrow batches would let
+                        # one wide batch overshoot the documented
+                        # max_partials x sketch_bytes bound); emitting
+                        # partials and restarting is lossless — the
+                        # downstream per-key merge absorbs them
+                        yield flush()
+                        sks = {}
                     sk = sks[kv] = factory()
                 sk.update(arr)
-            if len(sks) >= max_partials:
-                # bound task memory: emit current partials and restart;
-                # the downstream per-key merge makes this lossless
-                yield flush()
-                sks = {}
         if sks:
             yield flush()
     return fn
@@ -393,13 +402,8 @@ def hll_distinct_by_key(df: DataFrame, key_cols: list[str], col: str,
     (key_cols..., approx_distinct long); error is the published HLL
     bound (sigma = 1.04/sqrt(2^p)) independently per key.
     """
-    dtype = dict(df.dtypes)[col]
-    if hash_strings_col is None:
-        hash_strings_col = dtype in ("string", "binary")
-    nonnull = df.where(F.col(col).isNotNull())
-    val = (F.xxhash64(F.col(col)) if hash_strings_col
-           else F.col(col).cast("long"))
-    prepped = nonnull.select(*key_cols, val.alias("_hll_v"))
+    prepped = _keyed_long(df, col, hash_strings_col,
+                          extra_cols=tuple(key_cols), out_name="_hll_v")
     blobs = sketch_by_key(prepped, key_cols, "_hll_v",
                           lambda: HyperLogLog(p))
     key_schema = ", ".join(

@@ -109,11 +109,20 @@ class IncrementalFilterMaintainer:
         spark = batch_df.sparkSession
         self._recover_compact()
         keyed = keys_with_shard(batch_df, self.key_col, self.shard_bits)
-        if keyed.isEmpty():
-            return
-        keyed.write.mode("append").partitionBy("shard").parquet(self.keys_dir)
-        touched = [r["shard"] for r in
-                   keyed.select("shard").distinct().collect()]
+        # one source scan per trigger: cache the keyed batch, derive the
+        # touched-shard list (doubles as the empty check), then append —
+        # without the cache this pipeline would re-read the micro-batch
+        # source three times (empty-probe, write, distinct)
+        keyed.persist()
+        try:
+            touched = [r["shard"] for r in
+                       keyed.select("shard").distinct().collect()]
+            if not touched:
+                return
+            keyed.write.mode("append") \
+                .partitionBy("shard").parquet(self.keys_dir)
+        finally:
+            keyed.unpersist()
 
         # rebuild touched shards from their full key history (partition
         # pruning: the key store is partitioned by shard, so untouched
@@ -238,38 +247,63 @@ class StreamingSketchAggregator:
         if state_dir:
             self._load()
 
+    # single-file state layout: marker + every sketch blob committed in
+    # ONE os.replace.  Per-sketch files were replaced one by one, so a
+    # crash mid-loop left MIXED state (some sketches including the last
+    # batch, the marker not) — on redelivery the included ones would
+    # double-count (silent for CMS/KLL/t-digest).  Format: ascii header
+    # line "ffss1 <batch_id> <n>\n", then per sketch: name line, byte
+    # length line, raw wire bytes.
+    _STATE_FILE = "sketch_state.bin"
+
     def _load(self):
         from fastfilter_spark.functions.sketches import sketch_from_bytes
-        for name in self.factories:
-            path = os.path.join(self.state_dir, f"{name}.bin")
-            if os.path.exists(path):
-                with open(path, "rb") as f:
-                    self.sketches[name] = sketch_from_bytes(f.read())
-        marker = os.path.join(self.state_dir, "last_batch_id")
-        if os.path.exists(marker):
-            with open(marker) as f:
-                self.last_batch_id = int(f.read().strip())
+        path = os.path.join(self.state_dir, self._STATE_FILE)
+        if not os.path.exists(path):
+            return
+        with open(path, "rb") as f:
+            magic, batch_id, n = f.readline().split()
+            if magic != b"ffss1":
+                raise ValueError(f"unrecognized sketch state file {path}")
+            for _ in range(int(n)):
+                name = f.readline().strip().decode()
+                size = int(f.readline())
+                blob = f.read(size)
+                if name in self.factories:
+                    self.sketches[name] = sketch_from_bytes(blob)
+        self.last_batch_id = int(batch_id)
 
     def _save(self, batch_id: int):
         if not self.state_dir:
             return
         os.makedirs(self.state_dir, exist_ok=True)
-        for name, sk in self.sketches.items():
-            tmp = os.path.join(self.state_dir, f".{name}.tmp")
-            with open(tmp, "wb") as f:
-                f.write(sk.to_bytes())
-            os.replace(tmp, os.path.join(self.state_dir, f"{name}.bin"))
-        tmp = os.path.join(self.state_dir, ".last_batch_id.tmp")
-        with open(tmp, "w") as f:
-            f.write(str(batch_id))
-        os.replace(tmp, os.path.join(self.state_dir, "last_batch_id"))
+        tmp = os.path.join(self.state_dir, ".sketch_state.tmp")
+        with open(tmp, "wb") as f:
+            f.write(b"ffss1 %d %d\n" % (batch_id, len(self.sketches)))
+            for name, sk in self.sketches.items():
+                blob = sk.to_bytes()
+                f.write(name.encode() + b"\n%d\n" % len(blob) + blob)
+        # one replace = marker and blobs commit atomically together
+        os.replace(tmp, os.path.join(self.state_dir, self._STATE_FILE))
 
     def process_batch(self, batch_df: DataFrame, batch_id: int) -> None:
         # foreachBatch is at-least-once: a batch re-delivered after a
         # crash between our _save and Spark's checkpoint commit must not
-        # double-count into the (add-semantics) sketches
-        if batch_id <= self.last_batch_id:
+        # double-count into the (add-semantics) sketches.  Only the next
+        # uncommitted batch can legitimately be redelivered, so
+        # batch_id == last_batch_id → skip; batch_id < last_batch_id can
+        # only mean the stream re-attached with a FRESH checkpoint dir
+        # (batch ids restart at 0) against existing sketch state —
+        # silently skipping would drop real data and silently folding
+        # would double-count any replayed source, so fail loudly.
+        if batch_id == self.last_batch_id:
             return
+        if batch_id < self.last_batch_id:
+            raise ValueError(
+                f"batch_id {batch_id} < committed {self.last_batch_id}: "
+                "the stream's checkpoint dir was reset while state_dir "
+                f"{self.state_dir!r} kept old sketches. Pair state_dir "
+                "with its checkpoint (clear both or neither).")
         # distributed fold: executors compute per-task partials for all
         # sketches in ONE scan of the micro-batch (partials + tree merge,
         # operators/sketch_agg.multi_sketch_column); the driver receives

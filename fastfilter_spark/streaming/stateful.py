@@ -28,11 +28,15 @@ from pyspark.sql.types import (
 
 from fastfilter_spark.functions.sketches import HyperLogLog
 
-_OUT_SCHEMA = StructType([
-    StructField("key", StringType(), True),
-    StructField("estimate", DoubleType(), False),
-    StructField("n_updates", LongType(), False),
-])
+def _out_schema(key_type) -> StructType:
+    # the output key field mirrors the INPUT key column's type — a fixed
+    # StringType here would make every non-string key (e.g. bigint
+    # domain ids) die at the pandas->Arrow boundary in each task
+    return StructType([
+        StructField("key", key_type, True),
+        StructField("estimate", DoubleType(), False),
+        StructField("n_updates", LongType(), False),
+    ])
 _STATE_SCHEMA = StructType([
     StructField("sketch", StringType(), True),   # hex wire bytes
     StructField("n_updates", LongType(), True),
@@ -75,7 +79,8 @@ def running_distinct_per_key(stream: DataFrame, key_col: str,
     keyed = stream.selectExpr(f"{key_col} AS key",
                               f"CAST({value_col} AS LONG) AS value") \
         .dropna(subset=["value"])
+    key_type = keyed.schema["key"].dataType
     return keyed.groupBy("key").applyInPandasWithState(
-        _update_fn(p), outputStructType=_OUT_SCHEMA,
+        _update_fn(p), outputStructType=_out_schema(key_type),
         stateStructType=_STATE_SCHEMA, outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout)

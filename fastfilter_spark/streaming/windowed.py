@@ -100,6 +100,11 @@ def windowed_hll_distinct(stream_df: DataFrame, ts_col: str, value_col: str,
              .withWatermark(ts_col, watermark_delay)
              .select(win.alias("win"),
                      F.col(value_col).cast("long").alias("value"))
+             # drop nulls JVM-side (including cast failures): one null in
+             # a micro-batch would turn the Arrow 'value' column float64
+             # and round 64-bit hashes above 2^53 (same guard as
+             # stateful.py / sketch_agg.py)
+             .where(F.col("value").isNotNull())
              # epoch bounds computed JVM-side (timezone-correct); they
              # ride in the grouping key so the timeout branch — which
              # sees no input rows — still knows the window bounds

@@ -112,3 +112,21 @@ def test_no_row_shuffle_in_plan(spark, keyed_df):
     # BEFORE the partial mapInPandas (upstream) in the string, meaning
     # the shuffle consumes the partials' output, not the raw input
     assert first_exchange < first_partial
+
+
+def test_max_partials_is_hard_bound_within_one_batch():
+    """Review finding: the partial-dict cap must hold INSIDE a wide
+    Arrow batch, not just between batches — one batch with more
+    distinct keys than max_partials previously overshot the documented
+    memory bound by the whole batch's key count."""
+    import pandas as pd
+
+    from fastfilter_spark.operators.sketch_agg import _grouped_partial_map
+
+    cap = 8
+    fn = _grouped_partial_map(["k"], "v", lambda: HyperLogLog(8),
+                              as_float=False, max_partials=cap)
+    wide = pd.DataFrame({"k": list(range(100)), "v": list(range(100))})
+    frames = list(fn(iter([wide])))
+    assert sum(len(f) for f in frames) == 100      # every key emitted
+    assert all(len(f) <= cap for f in frames)      # bound never exceeded

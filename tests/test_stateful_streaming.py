@@ -51,3 +51,36 @@ def test_running_distinct_per_key(spark, tmp_path):
     for k, (est, n_up) in latest.items():
         assert n_up == 1500              # 6000 rows over 4 keys
         assert abs(est - 1500) / 1500 < 0.08  # distinct urls per domain
+
+
+def test_running_distinct_non_string_key(spark, tmp_path):
+    """Review finding: the output key field must mirror the INPUT key
+    type — a hardcoded StringType made any bigint key column die at the
+    pandas->Arrow boundary."""
+    src = str(tmp_path / "srclong")
+    ckpt = str(tmp_path / "ckptlong")
+    out = str(tmp_path / "outlong")
+    schema = StructType([StructField("domain_id", LongType(), False),
+                         StructField("url_key", LongType(), False)])
+    spark.range(0, 2000).select(
+        (F.col("id") % 4).alias("domain_id"),
+        F.xxhash64(F.col("id")).alias("url_key"),
+    ).coalesce(1).write.mode("append").parquet(src)
+
+    stream = spark.readStream.schema(schema).parquet(src)
+
+    def sink(batch_df, batch_id):
+        batch_df.write.mode("append").parquet(out)
+
+    q = (running_distinct_per_key(stream, "domain_id", "url_key", p=12)
+         .writeStream.foreachBatch(sink)
+         .option("checkpointLocation", ckpt)
+         .outputMode("update")
+         .trigger(availableNow=True).start())
+    q.awaitTermination(300)
+
+    res = spark.read.parquet(out)
+    assert dict(res.dtypes)["key"] == "bigint"
+    latest = {r["key"]: r["n_updates"] for r in res.collect()}
+    assert set(latest) == {0, 1, 2, 3}
+    assert all(n == 500 for n in latest.values())

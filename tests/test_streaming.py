@@ -3,7 +3,10 @@ sketches, driven by a bounded file stream with availableNow triggers
 (deterministic micro-batches; a rate source would outpace the per-batch
 rebuild on a test box)."""
 
+import os
+
 import numpy as np
+import pytest
 from pyspark.sql import functions as F
 from pyspark.sql.types import LongType, StructField, StructType
 
@@ -146,3 +149,50 @@ def test_streaming_sketches(spark, tmp_path):
         state_dir=state)
     assert agg2.sketches["kll"].n == n
     assert agg2.sketches["hll"].estimate() == est
+
+
+def test_sketch_aggregator_checkpoint_reset_fails_loudly(spark, tmp_path):
+    """Review finding: batch ids restart at 0 when a stream re-attaches
+    with a fresh checkpoint dir; silently skipping (old behavior of the
+    batch_id <= last guard) would drop real data.  Redelivery of the
+    LAST batch is still skipped; a rewind must raise."""
+    state = str(tmp_path / "state_reset")
+    df = spark.range(0, 100).select(F.col("id").alias("value"))
+    agg = StreamingSketchAggregator(
+        "value", {"kll": lambda: KLL(200)}, state_dir=state)
+    agg.process_batch(df, 0)
+    agg.process_batch(df, 1)
+    n = agg.sketches["kll"].n
+    assert n == 200
+    # at-least-once redelivery of the newest batch: skipped, no change
+    agg.process_batch(df, 1)
+    assert agg.sketches["kll"].n == n
+    # fresh-checkpoint restart against old state: loud error
+    agg2 = StreamingSketchAggregator(
+        "value", {"kll": lambda: KLL(200)}, state_dir=state)
+    assert agg2.last_batch_id == 1
+    with pytest.raises(ValueError, match="checkpoint"):
+        agg2.process_batch(df, 0)
+
+
+def test_sketch_aggregator_state_commit_is_atomic(spark, tmp_path):
+    """Review finding: per-sketch state files replaced one by one let a
+    mid-loop crash leave mixed state (some sketches with the last batch,
+    the marker without).  State is now ONE file, so a crash before the
+    final os.replace leaves the previous state fully intact."""
+    state = str(tmp_path / "state_atomic")
+    df = spark.range(0, 50).select(F.col("id").alias("value"))
+    agg = StreamingSketchAggregator(
+        "value", {"hll": lambda: HyperLogLog(12), "kll": lambda: KLL(200)},
+        state_dir=state)
+    agg.process_batch(df, 0)
+    files = [f for f in os.listdir(state) if not f.startswith(".")]
+    assert files == ["sketch_state.bin"]      # marker+blobs in one commit
+    # a crash mid-save leaves only a tmp file; reload sees the old state
+    with open(os.path.join(state, ".sketch_state.tmp"), "wb") as f:
+        f.write(b"garbage half-written")
+    agg2 = StreamingSketchAggregator(
+        "value", {"hll": lambda: HyperLogLog(12), "kll": lambda: KLL(200)},
+        state_dir=state)
+    assert agg2.last_batch_id == 0
+    assert agg2.sketches["kll"].n == 50

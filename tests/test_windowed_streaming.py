@@ -107,3 +107,41 @@ def test_windowed_hll_non_utc_session_timezone(spark, tmp_path):
         assert len(finals) == 1 and finals[0]["n_rows"] == 10
     finally:
         spark.conf.set("spark.sql.session.timeZone", old_tz)
+
+
+def test_windowed_hll_null_values_dropped_jvm_side(spark, tmp_path):
+    """Review finding: a null in a micro-batch must be dropped JVM-side.
+    If nulls reached pandas, Arrow would hand the fn a float64 column
+    and round 64-bit hashes above 2^53 — two huge adjacent hashes would
+    collide (undercount) and nulls would perturb dtype handling."""
+    src = str(tmp_path / "srcnull")
+    ckpt = str(tmp_path / "ckptnull")
+    out: list = []
+    nullable = StructType([
+        StructField("ts", TimestampType(), False),
+        StructField("value", LongType(), True),
+    ])
+    big = (1 << 62) + 4        # adjacent 63-bit values: float64 would
+    rows = [(T0, big), (T0 + dt.timedelta(seconds=1), big + 1),
+            (T0 + dt.timedelta(seconds=2), None)]
+    spark.createDataFrame(rows, nullable).coalesce(1) \
+        .write.mode("append").parquet(src)
+    stream = spark.readStream.schema(nullable).parquet(src)
+    windowed = windowed_hll_distinct(stream, "ts", "value",
+                                     window_duration="10 seconds",
+                                     watermark_delay="5 seconds")
+
+    def sink(batch_df, batch_id):
+        out.extend(r.asDict() for r in batch_df.collect())
+
+    q = (windowed.writeStream.foreachBatch(sink)
+         .option("checkpointLocation", ckpt)
+         .outputMode("update").trigger(availableNow=True).start())
+    q.awaitTermination(300)
+
+    w0 = [r for r in out if r["window_start"] == int(T0.timestamp())]
+    assert w0
+    # exactly the 2 non-null values, and the adjacent 63-bit hashes did
+    # NOT collide through a float64 round-trip
+    assert w0[-1]["n_rows"] == 2
+    assert abs(w0[-1]["estimate"] - 2) < 0.5
