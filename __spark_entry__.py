@@ -706,6 +706,34 @@ def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("lang", "source", "doc_id"))
 
 
+def q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Intra-document repetition removal (RefinedWeb/Gopher pass):
+    first occurrence of each line kept in order, pure JVM
+    split→array_distinct→array_join (zero shuffle).  The synthetic
+    corpus is single-line, so words stand in for lines (sep=' ') —
+    same code path, same semantics."""
+    from fastfilter_spark.functions.text import dedup_lines
+    docs = _t(spark, sf_dir, "documents")
+    return (docs.select("doc_id",
+                        dedup_lines(F.col("text"), sep=" ")
+                        .alias("text_dedup"))
+            .orderBy("doc_id"))
+
+
+def q_boilerplate_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style boilerplate strip: lines present in >= 90% of
+    documents (navigation chrome at web scale; the corpus's stopword
+    head here) are removed from every document, positions preserved,
+    fully-boilerplate docs kept as empty strings."""
+    import math
+
+    from fastfilter_spark.operators.dedup import remove_boilerplate_lines
+    docs = _t(spark, sf_dir, "documents")
+    thresh = math.ceil(0.9 * docs.count())
+    return remove_boilerplate_lines(docs, min_docs=thresh, sep=" ") \
+        .orderBy("doc_id")
+
+
 def q_token_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style repetition signal: per-lang total vs distinct token
     sums (integer components of the diversity ratio)."""
@@ -839,6 +867,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontamination": q_decontamination,
         "stratified_sample": q_stratified_sample,
         "token_diversity": q_token_diversity,
+        "line_dedup": q_line_dedup,
+        "boilerplate_removal": q_boilerplate_removal,
         # sources
         "webpages_invariant": q_webpages_invariant,
         "image_features": q_image_features,
@@ -1062,6 +1092,31 @@ def oracle_sql() -> dict[str, str]:
             "CAST((SELECT count(*) FROM documents WHERE md5(text) NOT IN "
             "(SELECT md5(text) FROM documents WHERE doc_id % 10 = 0)) "
             "AS BIGINT) AS n_clean"),
+        "line_dedup": (
+            "WITH lines AS (SELECT doc_id, "
+            "unnest(string_split(text, ' ')) AS line, "
+            "unnest(generate_series(1, len(string_split(text, ' ')))) "
+            "AS pos FROM documents), "
+            "firsts AS (SELECT doc_id, line, min(pos) AS pos "
+            "FROM lines GROUP BY doc_id, line) "
+            "SELECT doc_id, string_agg(line, ' ' ORDER BY pos) "
+            "AS text_dedup FROM firsts GROUP BY doc_id ORDER BY doc_id"),
+        "boilerplate_removal": (
+            "WITH lines AS (SELECT doc_id, "
+            "unnest(string_split(text, ' ')) AS line, "
+            "unnest(generate_series(1, len(string_split(text, ' ')))) "
+            "AS pos FROM documents), "
+            "boiler AS (SELECT line FROM (SELECT line, "
+            "count(DISTINCT doc_id) AS nd FROM lines GROUP BY line) t "
+            "WHERE nd >= (SELECT CAST(ceil(0.9 * count(*)) AS BIGINT) "
+            "FROM documents)), "
+            "rebuilt AS (SELECT doc_id, "
+            "string_agg(line, ' ' ORDER BY pos) AS text_clean "
+            "FROM lines WHERE line NOT IN (SELECT line FROM boiler) "
+            "GROUP BY doc_id) "
+            "SELECT d.doc_id, coalesce(r.text_clean, '') AS text_clean "
+            "FROM documents d LEFT JOIN rebuilt r USING (doc_id) "
+            "ORDER BY d.doc_id"),
         "stratified_sample": (
             "SELECT lang, source, doc_id FROM ("
             "SELECT lang, source, doc_id, row_number() OVER ("

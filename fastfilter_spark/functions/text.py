@@ -263,3 +263,22 @@ def stratified_sample(df, strata_cols: list[str], n_per_stratum: int,
     w = Window.partitionBy(*strata_cols).orderBy(order)
     return (df.withColumn("_rank", F.row_number().over(w))
             .where(F.col("_rank") <= n_per_stratum).drop("_rank"))
+
+
+def dedup_lines(text_col: Column, sep: str = "\n") -> Column:
+    """Remove repeated lines WITHIN a document, keeping each line's
+    first occurrence in original order (the RefinedWeb/Gopher
+    intra-document repetition-removal pass; the reference library has
+    no text layer — this feeds its filters cleaner keys).
+
+    Pure JVM whole-stage codegen: split → array_distinct → array_join.
+    ``array_distinct`` preserves first-occurrence order, so no shuffle,
+    no window, no UDF — per-row cost only, which is the only shape that
+    survives 10^12 documents (any per-line exchange would shuffle the
+    whole corpus).  ``sep`` is a literal separator (escaped into the
+    split regex): '\\n' for real pages; tests/oracles may pass ' ' to
+    treat words as lines on single-line corpora.
+    """
+    import re as _re
+    return F.array_join(
+        F.array_distinct(F.split(text_col, _re.escape(sep))), sep)

@@ -563,3 +563,53 @@ def decontaminate(train: DataFrame, eval_df: DataFrame,
     return train.withColumn("_decon_key", dk).join(
         F.broadcast(ev_fp), F.col("_decon_key") == F.col("_eval_fp"), how) \
         .drop("_decon_key")
+
+
+# ---------------------------------------------------------------------------
+# 7. corpus-level boilerplate-line removal (CCNet-style)
+# ---------------------------------------------------------------------------
+
+def remove_boilerplate_lines(docs: DataFrame, min_docs: int,
+                             id_col: str = "doc_id",
+                             text_col: str = "text",
+                             sep: str = "\n") -> DataFrame:
+    """Strip lines that occur in >= ``min_docs`` DISTINCT documents
+    (navigation bars, cookie banners, footers — the CCNet/RefinedWeb
+    boilerplate pass), preserving each surviving line's original
+    position.  Returns (id_col, text_clean); documents whose every
+    line was boilerplate come back with an empty string, never dropped.
+
+    Plan shape at 10^12 pages:
+    - line df-count: explode → count_distinct(doc) per line.  Spark
+      plans this as a two-phase distinct aggregate, so duplicate
+      (line, doc) pairs collapse map-side; the exchange carries one row
+      per distinct (line, doc), bounded by corpus line count.
+    - the boilerplate set is SMALL by construction (only lines repeated
+      across >= min_docs pages qualify — navigation chrome, not
+      content), so it broadcasts, and the removal is a map-side
+      BroadcastHashJoin(LeftAnti) over the exploded lines: the corpus
+      itself never shuffles for the membership decision.
+    - reassembly groups the kept lines by document (one shuffle of the
+      corpus — inherent to any reorder-preserving rewrite) and rebuilds
+      text with array_sort over (pos, line) structs, all JVM built-ins.
+    """
+    import re as _re
+    lines = docs.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), _re.escape(sep)))
+        .alias("pos", "line"))
+    boiler = (lines.groupBy("line")
+              .agg(F.count_distinct(id_col).alias("_ndocs"))
+              .where(F.col("_ndocs") >= int(min_docs))
+              .select("line"))
+    kept = lines.join(F.broadcast(boiler), "line", "left_anti")
+    rebuilt = kept.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "line"))),
+                lambda s: s["line"]),
+            sep).alias("text_clean"))
+    return (docs.select(id_col)
+            .join(rebuilt, id_col, "left")
+            .select(F.col(id_col),
+                    F.coalesce("text_clean", F.lit("")).alias("text_clean")))

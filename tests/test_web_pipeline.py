@@ -242,3 +242,72 @@ def test_decontaminate_exactness_beats_filter_fp(spark):
     ev = spark.createDataFrame([Row(doc_id=9, text="x")])
     kept = decontaminate(train, ev).collect()
     assert [r["doc_id"] for r in kept] == [1]
+
+
+# -- intra-document line dedup + corpus boilerplate removal ------------------
+
+def test_dedup_lines_order_and_first_occurrence(spark):
+    from fastfilter_spark.functions.text import dedup_lines
+    df = spark.createDataFrame(
+        [("b\na\nb\nc\na",), ("x\nx\nx",), ("",)], ["text"])
+    got = [r[0] for r in
+           df.select(dedup_lines(F.col("text"))).collect()]
+    assert got == ["b\na\nc", "x", ""]
+
+
+def test_dedup_lines_custom_sep_is_regex_safe(spark):
+    from fastfilter_spark.functions.text import dedup_lines
+    # '.' would match everything if not escaped into the split regex
+    df = spark.createDataFrame([("a.b.a.c",)], ["text"])
+    assert df.select(dedup_lines(F.col("text"), sep=".")).first()[0] \
+        == "a.b.c"
+
+
+def test_dedup_lines_is_jvm_only(spark):
+    from fastfilter_spark.functions.text import dedup_lines
+    df = spark.createDataFrame([("a\nb\na",)], ["text"]) \
+        .select(dedup_lines(F.col("text")).alias("t"))
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_remove_boilerplate_lines(spark):
+    from fastfilter_spark.operators.dedup import remove_boilerplate_lines
+    docs = spark.createDataFrame(
+        [(0, "nav\nunique zero\nfooter"),
+         (1, "nav\nunique one\nfooter"),
+         (2, "nav\nunique two\nfooter"),
+         (3, "nav\nnav\nonly nav and footer\nfooter"),
+         (4, "footer\nnav")],      # all boilerplate -> empty, not dropped
+        ["doc_id", "text"])
+    out = {r["doc_id"]: r["text_clean"] for r in
+           remove_boilerplate_lines(docs, min_docs=3).collect()}
+    assert out == {0: "unique zero", 1: "unique one", 2: "unique two",
+                   3: "only nav and footer", 4: ""}
+
+
+def test_remove_boilerplate_counts_distinct_docs_not_occurrences(spark):
+    from fastfilter_spark.operators.dedup import remove_boilerplate_lines
+    # 'spam' appears 5 times but only in ONE document: must survive a
+    # min_docs=2 threshold (df counts documents, not occurrences)
+    docs = spark.createDataFrame(
+        [(0, "spam\nspam\nspam\nspam\nspam"), (1, "other")],
+        ["doc_id", "text"])
+    out = {r["doc_id"]: r["text_clean"] for r in
+           remove_boilerplate_lines(docs, min_docs=2).collect()}
+    assert out[0] == "spam\nspam\nspam\nspam\nspam"
+
+
+def test_remove_boilerplate_partition_invariant(spark):
+    from fastfilter_spark.operators.dedup import remove_boilerplate_lines
+    docs = spark.range(0, 200).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("header\nbody "), F.col("id").cast("string"),
+                 F.lit("\nfooter")).alias("text"))
+    outs = []
+    for parts in (1, 7):
+        got = remove_boilerplate_lines(docs.repartition(parts), min_docs=150)
+        outs.append(sorted((r["doc_id"], r["text_clean"])
+                           for r in got.collect()))
+    assert outs[0] == outs[1]
+    assert outs[0][0][1] == "body 0"
