@@ -706,6 +706,19 @@ def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("lang", "source", "doc_id"))
 
 
+def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact heavy hitters from ONE Misra-Gries streaming pass plus a
+    candidate-restricted count (operators/sketch_agg.heavy_hitters):
+    the MG containment guarantee makes the result equal the full
+    groupBy-HAVING answer, which is exactly what the oracle computes."""
+    from fastfilter_spark.functions.text import word_tokens
+    from fastfilter_spark.operators.sketch_agg import heavy_hitters
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(F.explode(word_tokens(F.col("text")))
+                       .alias("token"))
+    return heavy_hitters(toks, "token", k=48).orderBy("token")
+
+
 def q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Intra-document repetition removal (RefinedWeb/Gopher pass):
     first occurrence of each line kept in order, pure JVM
@@ -869,6 +882,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_diversity": q_token_diversity,
         "line_dedup": q_line_dedup,
         "boilerplate_removal": q_boilerplate_removal,
+        "heavy_hitters": q_heavy_hitters,
         # sources
         "webpages_invariant": q_webpages_invariant,
         "image_features": q_image_features,
@@ -1092,6 +1106,14 @@ def oracle_sql() -> dict[str, str]:
             "CAST((SELECT count(*) FROM documents WHERE md5(text) NOT IN "
             "(SELECT md5(text) FROM documents WHERE doc_id % 10 = 0)) "
             "AS BIGINT) AS n_clean"),
+        "heavy_hitters": (
+            "WITH toks AS (SELECT unnest(list_filter("
+            "string_split_regex(lower(text), '[^a-z]+'), x -> x <> '')) "
+            "AS token FROM documents) "
+            "SELECT token, CAST(count(*) AS BIGINT) AS n_exact "
+            "FROM toks GROUP BY token "
+            "HAVING count(*) >= (SELECT count(*) // 49 + 1 FROM toks) "
+            "ORDER BY token"),
         "line_dedup": (
             "WITH lines AS (SELECT doc_id, "
             "unnest(string_split(text, ' ')) AS line, "

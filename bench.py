@@ -74,7 +74,7 @@ def main() -> None:
     # storm before the extra runs is the only in-process recovery; the
     # budget is shared so one long storm cannot starve the whole suite.
     suite_calm_budget = [float(os.environ.get("SPARK_GRAFT_SUITE_CALM_S",
-                                              "180"))]
+                                              "300"))]
 
     def wait_calm_suite(window: float = 3.0, consecutive: int = 2) -> None:
         clean = 0
@@ -242,18 +242,23 @@ def main() -> None:
         # wall-clock budget: the north-rule pair (2 -> 8) runs first so a
         # tight harness timeout still captures it; level 32 only runs
         # with remaining budget.  Partial results are emitted as-is.
-        # 720 s: a calm pair costs ~4 min, but a storm-hit attempt can
-        # cost ~3 min before its level caps fire (SCALING_LEVEL_BUDGET_S)
-        # — the extra headroom buys one more wait-out-and-retry cycle,
-        # which is the difference between a certified pass and a
-        # budget-exhausted artifact when a storm crosses the first pair
+        # 1200 s: a calm pair costs ~4 min and certifies on attempt 1,
+        # so the happy path never touches the headroom; a storm-hit
+        # attempt costs ~3 min before its level caps fire
+        # (SCALING_LEVEL_BUDGET_S), and observed storms run 5-10 min —
+        # 720 s died with "budget exhausted" after ONE poisoned level-2
+        # twice in a row (round-3 evening), while 1200 s leaves room to
+        # wait a storm out once and still re-run the full pair
         budget = float(os.environ.get("SPARK_GRAFT_SCALING_BUDGET_S",
-                                      "720"))
+                                      "1200"))
         t_scale0 = time.perf_counter()
         levels = {}
         retries: list[str] = []
+        # calm-wait sized to outlast one observed storm (5-10 min):
+        # waiting is ~2x cheaper than burning a poisoned level-2 run
+        # (which costs its full level budget AND a retry of both levels)
         calm_budget = [float(os.environ.get("SPARK_GRAFT_CALM_WAIT_S",
-                                            "240"))]
+                                            "480"))]
         calm_log: list = []
 
         _ncpu = os.cpu_count() or 1
@@ -510,7 +515,7 @@ def main() -> None:
         "queries": timings,
         "query_runs": query_runs,
         "suite_calm_wait_spent_s": round(
-            float(os.environ.get("SPARK_GRAFT_SUITE_CALM_S", "180"))
+            float(os.environ.get("SPARK_GRAFT_SUITE_CALM_S", "300"))
             - suite_calm_budget[0], 1),
         "sf": float(sf_label) if sf_label.replace(".", "").isdigit() else sf_label,
         "throughput": throughput,

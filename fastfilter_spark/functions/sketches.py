@@ -601,9 +601,100 @@ class ThetaKMV:
         return cls(k, vals)
 
 
+class MisraGries:
+    """Misra-Gries frequent-items summary (Misra & Gries 1982), with
+    the mergeable-summaries combine rule of Agarwal et al. 2013: keep
+    at most ``k`` counters; when they would overflow, subtract the
+    (k+1)-th largest count from ALL counters and drop the non-positive
+    ones, accumulating that subtraction into ``error``.
+
+    Guarantees (stream AND arbitrary merge trees — this is what makes
+    it a UDAF): for every item, estimate <= true <= estimate + error;
+    error <= n/(k+1); hence every item with true count > n/(k+1) is
+    guaranteed RETAINED.  That containment is the useful half: join the
+    <= k retained candidates back to exact counts and you have the
+    exact heavy-hitter set from one streaming pass over 10^12 rows plus
+    one candidate-restricted count — no full groupBy-orderBy of the
+    corpus.  What CMS cannot do: CMS answers point queries but cannot
+    ENUMERATE the heavy items without a second structure; MG is that
+    structure.
+    """
+
+    MAGIC = b"MGS1"
+
+    def __init__(self, k: int = 64, counters: dict | None = None,
+                 error: int = 0, n: int = 0):
+        if k < 1:
+            raise ValueError("k must be >= 1")
+        self.k = k
+        self.counters: dict[int, int] = counters or {}
+        self.error = int(error)
+        self.n = int(n)
+
+    def _compress(self) -> None:
+        if len(self.counters) <= self.k:
+            return
+        cuts = sorted(self.counters.values(), reverse=True)
+        sub = cuts[self.k]          # (k+1)-th largest
+        self.counters = {v: c - sub for v, c in self.counters.items()
+                         if c > sub}
+        self.error += sub
+
+    def update(self, values: np.ndarray) -> "MisraGries":
+        vals, cnts = np.unique(np.asarray(values, dtype=np.int64),
+                               return_counts=True)
+        get = self.counters.get
+        for v, c in zip(vals.tolist(), cnts.tolist()):
+            self.counters[v] = get(v, 0) + c
+        self.n += int(values.size)
+        self._compress()
+        return self
+
+    def merge(self, other: "MisraGries") -> "MisraGries":
+        if other.k != self.k:
+            raise ValueError("MisraGries k mismatch")
+        merged = dict(self.counters)
+        get = merged.get
+        for v, c in other.counters.items():
+            merged[v] = get(v, 0) + c
+        out = MisraGries(self.k, merged, self.error + other.error,
+                         self.n + other.n)
+        out._compress()
+        return out
+
+    def estimate(self, item: int) -> int:
+        """Lower-bound count estimate (0 for untracked items); the true
+        count is within [estimate, estimate + error]."""
+        return self.counters.get(int(item), 0)
+
+    def candidates(self) -> dict[int, int]:
+        """item -> lower-bound count, every true-heavy item included."""
+        return dict(self.counters)
+
+    def to_bytes(self) -> bytes:
+        items = np.fromiter(self.counters.keys(), dtype=np.int64,
+                            count=len(self.counters))
+        cnts = np.fromiter(self.counters.values(), dtype=np.int64,
+                           count=len(self.counters))
+        return (self.MAGIC
+                + struct.pack("<IQQQ", self.k, self.error, self.n,
+                              len(self.counters))
+                + items.astype("<i8").tobytes()
+                + cnts.astype("<i8").tobytes())
+
+    @classmethod
+    def from_bytes(cls, buf: bytes) -> "MisraGries":
+        assert buf[:4] == cls.MAGIC
+        k, error, n, m = struct.unpack_from("<IQQQ", buf, 4)
+        items = np.frombuffer(buf, dtype="<i8", count=m, offset=32)
+        cnts = np.frombuffer(buf, dtype="<i8", count=m, offset=32 + 8 * m)
+        return cls(k, dict(zip(items.tolist(), cnts.tolist())), error, n)
+
+
 SKETCH_TYPES = {
     b"HLL1": HyperLogLog, b"CMS1": CountMin, b"BLM1": Bloom,
     b"KLL1": KLL, b"TDG1": TDigest, b"TKV1": ThetaKMV,
+    b"MGS1": MisraGries,
 }
 
 

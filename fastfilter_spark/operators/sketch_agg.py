@@ -29,7 +29,8 @@ import pandas as pd
 from pyspark.sql import DataFrame, functions as F
 
 from fastfilter_spark.functions.sketches import (
-    Bloom, CountMin, HyperLogLog, KLL, TDigest, ThetaKMV, sketch_from_bytes,
+    Bloom, CountMin, HyperLogLog, KLL, MisraGries, TDigest, ThetaKMV,
+    sketch_from_bytes,
 )
 
 def sketch_column(df: DataFrame, col: str, factory: Callable[[], object],
@@ -178,6 +179,56 @@ def _keyed_long(df: DataFrame, col: str, hash_strings_col: bool | None,
     val = (F.xxhash64(F.col(col)) if hash_strings_col
            else F.col(col).cast("long"))
     return nonnull.select(*extra_cols, val.alias(out_name or col))
+
+
+def frequent_items(df: DataFrame, col: str, k: int = 64,
+                   hash_strings_col: bool | None = None) -> MisraGries:
+    """One-pass Misra-Gries frequent-items summary of ``df[col]`` —
+    same partials + tree-merge plan as every sketch here (the
+    mergeable-summaries combine rule keeps the n/(k+1) error bound
+    under arbitrary merge trees).  String columns are xxhash64-keyed;
+    the retained counters then hold hashes — ``heavy_hitters`` joins
+    them back to the original values."""
+    return sketch_column(_keyed_long(df, col, hash_strings_col), col,
+                         lambda: MisraGries(k))
+
+
+def heavy_hitters(df: DataFrame, col: str, min_count: int | None = None,
+                  k: int = 64) -> DataFrame:
+    """EXACT heavy hitters — (col, n_exact) for every value occurring
+    >= ``min_count`` times — without a full groupBy of the corpus.
+
+    Plan: one streaming MG pass (blobs-only driver traffic) yields
+    <= k candidate keys with a containment guarantee (every item with
+    true count > n/(k+1) is retained — hash collisions can only ADD
+    weight, never evict a heavy item); then one candidate-restricted
+    scan (`IN (<=k keys)` — pushed to the parquet reader) counts the
+    candidates exactly and filters by threshold.  At 10^12 rows the
+    second pass aggregates only rows matching <= k keys instead of
+    shuffling the full column.
+
+    ``min_count`` defaults to the guarantee threshold
+    floor(n/(k+1)) + 1; passing anything lower raises (items below the
+    guarantee line may have been evicted, so the result could silently
+    miss qualifying values — raise k instead).
+    """
+    sk = frequent_items(df, col, k=k)
+    floor_thresh = sk.n // (k + 1) + 1
+    if min_count is None:
+        min_count = floor_thresh
+    elif min_count < floor_thresh:
+        raise ValueError(
+            f"min_count {min_count} is below the MG guarantee threshold "
+            f"{floor_thresh} (= n/(k+1)+1 for n={sk.n}, k={k}); items "
+            "that rare may have been evicted from the summary — use a "
+            f"larger k (>= {sk.n // max(min_count - 1, 1)})")
+    cand = [int(v) for v in sk.counters]
+    dtype = dict(df.dtypes)[col]
+    keyexpr = (F.xxhash64(F.col(col)) if dtype in ("string", "binary")
+               else F.col(col).cast("long"))
+    return (df.where(keyexpr.isin(cand))
+            .groupBy(col).agg(F.count("*").alias("n_exact"))
+            .where(F.col("n_exact") >= int(min_count)))
 
 
 def theta_sketch(df: DataFrame, col: str, k: int = 4096,

@@ -247,3 +247,93 @@ def test_spark_theta_vs_exact(spark, lineitem):
     est = theta_intersection(lineitem, "l_orderkey", orders, "o_orderkey",
                              k=4096)
     assert abs(est - exact) / exact < 0.08
+
+
+# -- MisraGries ---------------------------------------------------------------
+
+def test_misra_gries_guarantees_stream():
+    """estimate <= true <= estimate + error; error <= n/(k+1); every
+    item with true count > n/(k+1) retained — on a zipf-ish stream."""
+    from fastfilter_spark.functions.sketches import MisraGries
+    rng = np.random.default_rng(11)
+    # zipf over 1000 items, 50k draws
+    vals = rng.zipf(1.3, size=50_000) % 1000
+    sk = MisraGries(k=32).update(vals)
+    true = {int(v): int(c) for v, c in
+            zip(*np.unique(vals, return_counts=True))}
+    assert sk.n == 50_000
+    assert sk.error <= sk.n // (32 + 1)
+    for item, est in sk.counters.items():
+        t = true[item]
+        assert est <= t <= est + sk.error, (item, est, t, sk.error)
+    thresh = sk.n // (32 + 1)
+    for item, t in true.items():
+        if t > thresh:
+            assert item in sk.counters, (item, t, thresh)
+
+
+def test_misra_gries_merge_tree_invariant():
+    """The guarantee must hold under ARBITRARY merge trees (partials in
+    any partitioning) — the mergeable-summaries property sketch_column
+    relies on."""
+    from fastfilter_spark.functions.sketches import MisraGries
+    rng = np.random.default_rng(5)
+    vals = rng.zipf(1.5, size=30_000) % 200
+    true = {int(v): int(c) for v, c in
+            zip(*np.unique(vals, return_counts=True))}
+    for n_parts, perm_seed in ((3, 0), (8, 1), (16, 2)):
+        parts = np.array_split(
+            vals[np.random.default_rng(perm_seed).permutation(len(vals))],
+            n_parts)
+        sks = [MisraGries(k=24).update(p) for p in parts]
+        # unbalanced right-fold AND pairwise tree
+        acc = sks[0]
+        for s in sks[1:]:
+            acc = acc.merge(s)
+        assert acc.n == 30_000
+        assert acc.error <= acc.n // 25
+        thresh = acc.n // 25
+        for item, t in true.items():
+            if t > thresh:
+                assert item in acc.counters
+        for item, est in acc.counters.items():
+            assert est <= true[item] <= est + acc.error
+
+
+def test_misra_gries_serialization_roundtrip():
+    from fastfilter_spark.functions.sketches import (
+        MisraGries, sketch_from_bytes)
+    sk = MisraGries(k=8).update(np.array([1, 1, 2, 3, -5, -5, -5]))
+    rt = sketch_from_bytes(sk.to_bytes())
+    assert isinstance(rt, MisraGries)
+    assert rt.k == sk.k and rt.n == sk.n and rt.error == sk.error
+    assert rt.counters == sk.counters
+    assert rt.estimate(-5) == 3 and rt.estimate(99) == 0
+
+
+def test_heavy_hitters_exact_vs_groupby(spark):
+    """heavy_hitters (MG candidates + restricted exact count) must equal
+    the full groupBy-HAVING result — string column, hashed candidates."""
+    from fastfilter_spark.operators.sketch_agg import heavy_hitters
+    from pyspark.sql import functions as F
+    # 20 hot values (weight 500+), long uniform tail
+    df = spark.range(0, 30_000).select(
+        F.when(F.col("id") % 3 != 0,
+               F.concat(F.lit("hot"), (F.col("id") % 20).cast("string")))
+        .otherwise(F.concat(F.lit("cold"), F.col("id").cast("string")))
+        .alias("tok"))
+    got = heavy_hitters(df, "tok", k=64)
+    thresh = [r["n_exact"] for r in got.collect()]
+    exact = (df.groupBy("tok").agg(F.count("*").alias("n_exact"))
+             .where(F.col("n_exact") >= 30_000 // 65 + 1))
+    assert sorted((r["tok"], r["n_exact"]) for r in got.collect()) \
+        == sorted((r["tok"], r["n_exact"]) for r in exact.collect())
+    assert len(thresh) == 20
+
+
+def test_heavy_hitters_rejects_sub_guarantee_threshold(spark):
+    from fastfilter_spark.operators.sketch_agg import heavy_hitters
+    from pyspark.sql import functions as F
+    df = spark.range(0, 1000).select((F.col("id") % 7).alias("v"))
+    with pytest.raises(ValueError, match="guarantee"):
+        heavy_hitters(df, "v", min_count=2, k=4)
