@@ -242,23 +242,27 @@ def main() -> None:
         # wall-clock budget: the north-rule pair (2 -> 8) runs first so a
         # tight harness timeout still captures it; level 32 only runs
         # with remaining budget.  Partial results are emitted as-is.
-        # 1200 s: a calm pair costs ~4 min and certifies on attempt 1,
+        # 1800 s: a calm pair costs ~4 min and certifies on attempt 1,
         # so the happy path never touches the headroom; a storm-hit
         # attempt costs ~3 min before its level caps fire
-        # (SCALING_LEVEL_BUDGET_S), and observed storms run 5-10 min —
-        # 720 s died with "budget exhausted" after ONE poisoned level-2
-        # twice in a row (round-3 evening), while 1200 s leaves room to
-        # wait a storm out once and still re-run the full pair
+        # (SCALING_LEVEL_BUDGET_S).  Observed storms on this host run
+        # 5-10 min and RECUR on a 10-30 min cycle: 720 s died with
+        # "budget exhausted" after ONE poisoned level-2 twice in a row,
+        # and 1200 s was then exhausted by a storm that spanned the
+        # whole scaling phase (round-3 night, two separate runs) —
+        # 1800 s is sized to wait out one full storm AND still run the
+        # pair twice in the gap before the next one
         budget = float(os.environ.get("SPARK_GRAFT_SCALING_BUDGET_S",
-                                      "1200"))
+                                      "1800"))
         t_scale0 = time.perf_counter()
         levels = {}
         retries: list[str] = []
-        # calm-wait sized to outlast one observed storm (5-10 min):
-        # waiting is ~2x cheaper than burning a poisoned level-2 run
-        # (which costs its full level budget AND a retry of both levels)
+        # calm-wait sized to outlast one observed storm (5-10 min, and
+        # occasionally back-to-back): waiting is ~2x cheaper than
+        # burning a poisoned level-2 run (which costs its full level
+        # budget AND a retry of both levels)
         calm_budget = [float(os.environ.get("SPARK_GRAFT_CALM_WAIT_S",
-                                            "480"))]
+                                            "900"))]
         calm_log: list = []
 
         _ncpu = os.cpu_count() or 1
