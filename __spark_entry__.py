@@ -761,6 +761,24 @@ def q_token_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("lang"))
 
 
+def q_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher repetition filters (Rae et al. 2021 §A1.1), integer
+    pieces per document: duplicate-line counts/chars (words stand in
+    for lines on this single-line corpus, as in line_dedup) plus the
+    most-frequent word-2-gram's count and length.  One O(distinct
+    bigrams) shuffle with map-side combine; everything else is
+    per-row JVM codegen."""
+    from fastfilter_spark.functions.text import (
+        repetition_signal_columns, top_bigram_stats,
+    )
+    docs = _t(spark, sf_dir, "documents")
+    sig = repetition_signal_columns(F.col("text"), sep=" ")
+    per_doc = docs.select("doc_id",
+                          *[c.alias(n) for n, c in sig.items()])
+    grams = top_bigram_stats(docs, "text", "doc_id")
+    return per_doc.join(grams, "doc_id").orderBy("doc_id")
+
+
 def q_webpages_invariant(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic synthesis: exactly n_pages rows and byte-identical
     re-extraction (the north-rule per-row invariant) — both constants a
@@ -880,6 +898,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontamination": q_decontamination,
         "stratified_sample": q_stratified_sample,
         "token_diversity": q_token_diversity,
+        "repetition_signals": q_repetition_signals,
         "line_dedup": q_line_dedup,
         "boilerplate_removal": q_boilerplate_removal,
         "heavy_hitters": q_heavy_hitters,
@@ -1152,6 +1171,35 @@ def oracle_sql() -> dict[str, str]:
             "SELECT lang, list_filter(string_split_regex(lower(text), "
             "'[^a-z]+'), x -> x <> '') AS toks FROM documents) t "
             "GROUP BY lang ORDER BY lang"),
+        "repetition_signals": (
+            "WITH lines AS (SELECT doc_id, string_split(text, ' ') AS ls "
+            "FROM documents), "
+            "sig AS (SELECT doc_id, "
+            "CAST(len(ls) AS BIGINT) AS n_lines, "
+            "CAST(len(list_distinct(ls)) AS BIGINT) AS n_distinct_lines, "
+            "CAST(list_sum(list_transform(ls, x -> length(x))) AS BIGINT) "
+            "AS line_chars, "
+            "CAST(list_sum(list_transform(list_distinct(ls), "
+            "x -> length(x))) AS BIGINT) AS distinct_line_chars "
+            "FROM lines), "
+            "toks AS (SELECT doc_id, list_filter(string_split_regex("
+            "lower(text), '[^a-z]+'), x -> x <> '') AS tk FROM documents), "
+            "grams AS (SELECT doc_id, tk[CAST(i AS INT)] || ' ' || "
+            "tk[CAST(i AS INT) + 1] AS gram "
+            "FROM toks, UNNEST(range(1, len(tk))) AS u(i)), "
+            "counted AS (SELECT doc_id, gram, count(*) AS cnt "
+            "FROM grams GROUP BY 1, 2), "
+            "top AS (SELECT doc_id, cnt, length(gram) AS glen, "
+            "row_number() OVER (PARTITION BY doc_id "
+            "ORDER BY cnt DESC, gram DESC) AS rn FROM counted) "
+            "SELECT s.doc_id, s.n_lines, s.n_distinct_lines, "
+            "s.line_chars, s.distinct_line_chars, "
+            "CAST(greatest(len(t2.tk) - 1, 0) AS BIGINT) AS n_bigrams, "
+            "CAST(coalesce(top.cnt, 0) AS BIGINT) AS top_bigram_count, "
+            "CAST(coalesce(top.glen, 0) AS BIGINT) AS top_bigram_len "
+            "FROM sig s JOIN toks t2 USING (doc_id) "
+            "LEFT JOIN top ON top.doc_id = s.doc_id AND top.rn = 1 "
+            "ORDER BY s.doc_id"),
         "webpages_invariant": (
             "SELECT CAST(2000 AS BIGINT) AS n_pages, "
             "CAST(0 AS BIGINT) AS n_mismatch"),

@@ -282,3 +282,85 @@ def dedup_lines(text_col: Column, sep: str = "\n") -> Column:
     import re as _re
     return F.array_join(
         F.array_distinct(F.split(text_col, _re.escape(sep))), sep)
+
+
+def repetition_signal_columns(text_col: Column,
+                              sep: str = "\n") -> dict[str, Column]:
+    """Integer components of the Gopher duplicate-line repetition
+    filters (Rae et al. 2021 §A1.1: "fraction of duplicate lines" and
+    "fraction of characters in duplicate lines"; the reference library
+    has no text layer — these gate which documents feed its filters).
+
+    Returned per document, all ``long`` so oracles compare exactly and
+    sums stay lossless (the caller derives the fractions):
+
+    - ``n_lines`` / ``n_distinct_lines`` — dup-line fraction is
+      ``1 - distinct/total``;
+    - ``line_chars`` / ``distinct_line_chars`` — characters over all
+      lines vs over each line's FIRST occurrence only, so the dup-char
+      fraction weights long boilerplate lines properly.
+
+    Pure JVM codegen (split / array_distinct / aggregate) — per-row
+    cost, zero shuffle, the only shape that survives 10^12 documents.
+    ``sep`` as in :func:`dedup_lines` (' ' on single-line corpora).
+    """
+    import re as _re
+    lines = F.split(text_col, _re.escape(sep))
+    firsts = F.array_distinct(lines)
+    chars = lambda arr: F.aggregate(  # noqa: E731 — local shorthand
+        arr, F.lit(0).cast("long"),
+        lambda acc, x: acc + F.length(x).cast("long"))
+    return {
+        "n_lines": F.size(lines).cast("long"),
+        "n_distinct_lines": F.size(firsts).cast("long"),
+        "line_chars": chars(lines),
+        "distinct_line_chars": chars(firsts),
+    }
+
+
+def top_bigram_stats(df, text_col: str = "text",
+                     id_col: str = "doc_id"):
+    """Per-document most-frequent word 2-gram (the Gopher "fraction of
+    characters in the most common n-gram" filter's integer pieces).
+
+    Returns ``(id_col, n_bigrams, top_bigram_count, top_bigram_len)``
+    with one row per input document; documents with < 2 tokens get
+    zeros.  The top gram is tie-broken deterministically (highest
+    count, then lexicographically-last gram) so Spark and a SQL oracle
+    agree row-for-row.
+
+    Plan shape at corpus scale: bigrams are exploded and hash-
+    aggregated on (doc, gram) — one shuffle of O(distinct bigrams),
+    with map-side combine absorbing within-partition repeats (exactly
+    the repeats this filter hunts, so the exchange shrinks on the
+    worst documents); the per-doc argmax window then runs over distinct
+    grams only.  No per-row Python anywhere.
+    """
+    from pyspark.sql import Window
+
+    toks = word_tokens(F.col(text_col))
+    grams = F.when(
+        F.size(toks) >= 2,
+        F.transform(F.sequence(F.lit(1), F.size(toks) - 1),
+                    lambda i: F.concat_ws(
+                        " ", F.element_at(toks, i),
+                        F.element_at(toks, i + 1)))
+    ).otherwise(F.array().cast("array<string>"))
+
+    base = df.select(F.col(id_col), grams.alias("_grams"))
+    counted = (base.select(id_col, F.explode("_grams").alias("gram"))
+               .groupBy(id_col, "gram").agg(F.count("*").alias("cnt")))
+    w = Window.partitionBy(id_col).orderBy(F.col("cnt").desc(),
+                                           F.col("gram").desc())
+    top = (counted.withColumn("_rn", F.row_number().over(w))
+           .where(F.col("_rn") == 1)
+           .select(id_col, F.col("cnt").alias("top_bigram_count"),
+                   F.length("gram").cast("long").alias("top_bigram_len")))
+    totals = base.select(id_col,
+                         F.size("_grams").cast("long").alias("n_bigrams"))
+    return (totals.join(top, id_col, "left")
+            .select(id_col, "n_bigrams",
+                    F.coalesce("top_bigram_count", F.lit(0))
+                    .cast("long").alias("top_bigram_count"),
+                    F.coalesce("top_bigram_len", F.lit(0))
+                    .cast("long").alias("top_bigram_len")))

@@ -1,0 +1,88 @@
+"""Gopher repetition-filter signals (duplicate lines, top bigram):
+hand-computed expectations plus edge cases."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from fastfilter_spark.functions.text import (
+    repetition_signal_columns, top_bigram_stats,
+)
+
+
+def _sig_rows(spark, rows, sep="\n"):
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    cols = repetition_signal_columns(F.col("text"), sep=sep)
+    out = df.select("doc_id", *[c.alias(n) for n, c in cols.items()])
+    return {r.doc_id: r.asDict() for r in out.collect()}
+
+
+def test_duplicate_line_signals_hand_computed(spark):
+    got = _sig_rows(spark, [
+        # 3 lines, "ab" repeated: 2 distinct; chars 2+3+2=7, distinct 2+3=5
+        (1, "ab\nxyz\nab"),
+        (2, "one"),             # single line, no sep
+        (3, "a\na\na\na"),      # all-dup: 4 lines 1 distinct
+    ])
+    assert got[1] == {"doc_id": 1, "n_lines": 3, "n_distinct_lines": 2,
+                      "line_chars": 7, "distinct_line_chars": 5}
+    assert got[2] == {"doc_id": 2, "n_lines": 1, "n_distinct_lines": 1,
+                      "line_chars": 3, "distinct_line_chars": 3}
+    assert got[3] == {"doc_id": 3, "n_lines": 4, "n_distinct_lines": 1,
+                      "line_chars": 4, "distinct_line_chars": 1}
+
+
+def test_duplicate_line_signals_empty_text(spark):
+    # split('') -> [''] in both Spark and the SQL oracles: one empty line
+    got = _sig_rows(spark, [(1, "")])
+    assert got[1] == {"doc_id": 1, "n_lines": 1, "n_distinct_lines": 1,
+                      "line_chars": 0, "distinct_line_chars": 0}
+
+
+def test_space_separator_words_as_lines(spark):
+    got = _sig_rows(spark, [(1, "to be or not to be")], sep=" ")
+    # 6 words, 4 distinct; chars 2+2+2+3+2+2=13, distinct 2+2+2+3=9
+    assert got[1] == {"doc_id": 1, "n_lines": 6, "n_distinct_lines": 4,
+                      "line_chars": 13, "distinct_line_chars": 9}
+
+
+def _grams(spark, rows):
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    return {r.doc_id: r.asDict()
+            for r in top_bigram_stats(df, "text", "doc_id").collect()}
+
+
+def test_top_bigram_hand_computed(spark):
+    got = _grams(spark, [
+        # bigrams: "the cat","cat sat","sat the","the cat" -> top
+        # "the cat" x2 (len 7), 4 total
+        (1, "The cat sat, the cat!"),
+        (2, "hello"),        # 1 token -> 0 bigrams, zeros
+        (3, ""),             # 0 tokens -> 0 bigrams, zeros
+        (4, "a b a b a"),    # "a b" x2 vs "b a" x2: tie -> lexic.-last
+    ])
+    assert got[1] == {"doc_id": 1, "n_bigrams": 4,
+                      "top_bigram_count": 2, "top_bigram_len": 7}
+    assert got[2] == {"doc_id": 2, "n_bigrams": 0,
+                      "top_bigram_count": 0, "top_bigram_len": 0}
+    assert got[3] == {"doc_id": 3, "n_bigrams": 0,
+                      "top_bigram_count": 0, "top_bigram_len": 0}
+    assert got[4] == {"doc_id": 4, "n_bigrams": 4,
+                      "top_bigram_count": 2, "top_bigram_len": 3}
+
+
+def test_every_document_gets_a_row(spark):
+    rows = [(i, "x" if i % 3 == 0 else "spam spam spam")
+            for i in range(50)]
+    out = _grams(spark, rows)
+    assert len(out) == 50
+    assert all(out[i]["top_bigram_count"] == (0 if i % 3 == 0 else 2)
+               for i in range(50))
+
+
+def test_top_bigram_no_python_udf_in_plan(spark):
+    """The hot path must stay JVM-side: explode + hash-aggregate +
+    window, no BatchEvalPython / ArrowEvalPython."""
+    df = spark.createDataFrame([(1, "a b c")], "doc_id int, text string")
+    plan = top_bigram_stats(df, "text", "doc_id") \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "EvalPython" not in plan
