@@ -671,6 +671,32 @@ def q_url_parsing(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("tld"))
 
 
+def q_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub pass: deterministic email/IPv4/phone spans are
+    appended to each document (the synthetic corpus has none), then
+    redacted by the chained-regexp_replace pass and counted with
+    ordered-replacement attribution.  The oracle rebuilds the same
+    augmented text and applies RE2 twins of the same patterns — the
+    patterns are deliberately restricted to syntax with identical
+    Java/RE2 semantics."""
+    from fastfilter_spark.functions.text import pii_counts, redact_pii
+    docs = _t(spark, sf_dir, "documents")
+    aug = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"), F.col("doc_id").cast("string"),
+            F.lit("@mail.example.com from 10.1."),
+            (F.col("doc_id") % 256).cast("string"),
+            F.lit(".7 call +1 555-010-"),
+            F.lpad((F.col("doc_id") % 100).cast("string"), 2, "0"),
+        ).alias("t"))
+    counts = pii_counts(F.col("t"))
+    return (aug.select("doc_id", redact_pii(F.col("t")).alias("redacted"),
+                       *[c.alias(n) for n, c in counts.items()])
+            .orderBy("doc_id"))
+
+
 def q_doc_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Vocabulary building: document frequency of the corpus's top-20
     tokens (distinct-per-doc explode -> hash agg)."""
@@ -899,6 +925,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample": q_stratified_sample,
         "token_diversity": q_token_diversity,
         "repetition_signals": q_repetition_signals,
+        "pii_redaction": q_pii_redaction,
         "line_dedup": q_line_dedup,
         "boilerplate_removal": q_boilerplate_removal,
         "heavy_hitters": q_heavy_hitters,
@@ -1200,6 +1227,29 @@ def oracle_sql() -> dict[str, str]:
             "FROM sig s JOIN toks t2 USING (doc_id) "
             "LEFT JOIN top ON top.doc_id = s.doc_id AND top.rn = 1 "
             "ORDER BY s.doc_id"),
+        "pii_redaction": (
+            "WITH aug AS (SELECT doc_id, text || ' contact user' || "
+            "CAST(doc_id AS VARCHAR) || '@mail.example.com from 10.1.' || "
+            "CAST(doc_id % 256 AS VARCHAR) || '.7 call +1 555-010-' || "
+            "lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0') AS t "
+            "FROM documents), "
+            "m1 AS (SELECT doc_id, t, regexp_replace(t, "
+            "'[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', "
+            "'<EMAIL>', 'g') AS t1 FROM aug), "
+            "m2 AS (SELECT *, regexp_replace(t1, "
+            "'\\b(?:\\d{1,3}\\.){3}\\d{1,3}\\b', '<IP>', 'g') AS t2 "
+            "FROM m1) "
+            "SELECT doc_id, "
+            "regexp_replace(t2, '\\+?\\d[\\d()\\- ]{7,}\\d', '<PHONE>', "
+            "'g') AS redacted, "
+            "CAST(len(regexp_extract_all(t, "
+            "'[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS BIGINT) "
+            "AS n_email, "
+            "CAST(len(regexp_extract_all(t1, "
+            "'\\b(?:\\d{1,3}\\.){3}\\d{1,3}\\b')) AS BIGINT) AS n_ipv4, "
+            "CAST(len(regexp_extract_all(t2, "
+            "'\\+?\\d[\\d()\\- ]{7,}\\d')) AS BIGINT) AS n_phone "
+            "FROM m2 ORDER BY doc_id"),
         "webpages_invariant": (
             "SELECT CAST(2000 AS BIGINT) AS n_pages, "
             "CAST(0 AS BIGINT) AS n_mismatch"),

@@ -364,3 +364,46 @@ def top_bigram_stats(df, text_col: str = "text",
                     .cast("long").alias("top_bigram_count"),
                     F.coalesce("top_bigram_len", F.lit(0))
                     .cast("long").alias("top_bigram_len")))
+
+
+# PII redaction patterns, ordered: email first (its local part may
+# contain digit runs the later patterns would mangle), then IPv4, then
+# phone-like digit runs.  Kept to syntax with identical semantics in
+# Java regex (Spark) and RE2 (DuckDB oracles): character classes,
+# bounded repetition, \b — no backrefs, no lookaround.
+PII_PATTERNS: list[tuple[str, str, str]] = [
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+     "<EMAIL>"),
+    ("ipv4", r"\b(?:\d{1,3}\.){3}\d{1,3}\b", "<IP>"),
+    ("phone", r"\+?\d[\d()\- ]{7,}\d", "<PHONE>"),
+]
+
+
+def redact_pii(text_col: Column) -> Column:
+    """Replace email / IPv4 / phone-shaped spans with typed tokens
+    (``<EMAIL>``, ``<IP>``, ``<PHONE>``) — the standard scrub pass a
+    web corpus takes before training.  Three chained JVM
+    ``regexp_replace`` calls: per-row codegen, zero shuffle, no
+    Python.  Pattern-based scrubbing is recall-bounded by its regexes
+    (that is the industry-standard trade-off at 10^12 documents; ML
+    NER passes are orders of magnitude more compute)."""
+    out = text_col
+    for _, pat, token in PII_PATTERNS:
+        out = F.regexp_replace(out, pat, token)
+    return out
+
+
+def pii_counts(text_col: Column) -> dict[str, Column]:
+    """Per-document match counts for each PII pattern (long), for
+    corpus audit dashboards and redaction-rate monitoring.  Counted on
+    the ORIGINAL text with the same ordered-replacement semantics as
+    :func:`redact_pii`: each pattern is counted on the text with the
+    EARLIER patterns' spans already replaced, so an address inside an
+    email is attributed to the email, exactly once."""
+    masked = text_col
+    counts: dict[str, Column] = {}
+    for name, pat, token in PII_PATTERNS:
+        counts[f"n_{name}"] = F.size(
+            F.regexp_extract_all(masked, F.lit(pat), 0)).cast("long")
+        masked = F.regexp_replace(masked, pat, token)
+    return counts

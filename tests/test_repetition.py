@@ -86,3 +86,61 @@ def test_top_bigram_no_python_udf_in_plan(spark):
     plan = top_bigram_stats(df, "text", "doc_id") \
         ._jdf.queryExecution().executedPlan().toString()
     assert "EvalPython" not in plan
+
+
+# ---------------------------------------------------------------------------
+# PII redaction
+# ---------------------------------------------------------------------------
+
+def _redact(spark, texts):
+    from fastfilter_spark.functions.text import pii_counts, redact_pii
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)],
+                               "i int, t string")
+    counts = pii_counts(F.col("t"))
+    out = df.select("i", redact_pii(F.col("t")).alias("r"),
+                    *[c.alias(n) for n, c in counts.items()])
+    return [r.asDict() for r in out.orderBy("i").collect()]
+
+
+def test_pii_redaction_each_kind(spark):
+    rows = _redact(spark, [
+        "mail a.b+c@sub.example.co.uk now",
+        "server at 192.168.1.254 down",
+        "call +1 (555) 010-0199 today",
+        "clean text with no pii at all",
+    ])
+    assert rows[0]["r"] == "mail <EMAIL> now"
+    assert rows[0]["n_email"] == 1 and rows[0]["n_ipv4"] == 0
+    assert rows[1]["r"] == "server at <IP> down"
+    assert rows[1]["n_ipv4"] == 1
+    assert rows[2]["r"] == "call <PHONE> today"
+    assert rows[2]["n_phone"] == 1
+    assert rows[3]["r"] == rows[3]["r"] == "clean text with no pii at all"
+    assert (rows[3]["n_email"], rows[3]["n_ipv4"], rows[3]["n_phone"]) \
+        == (0, 0, 0)
+
+
+def test_pii_ordered_attribution(spark):
+    """Digits inside an email's host must not double-count as IP/phone:
+    counting runs on the earlier patterns' replaced text."""
+    rows = _redact(spark, ["x 10.0.0.1@10.0.0.2.ab y 10.0.0.3 z"])
+    r = rows[0]
+    assert r["n_email"] == 1 and r["n_ipv4"] == 1
+    assert r["r"] == "x <EMAIL> y <IP> z"
+
+
+def test_pii_multiple_matches_counted(spark):
+    rows = _redact(spark, ["a@b.cc c@d.ee 1.2.3.4 5.6.7.8 5551234567"])
+    r = rows[0]
+    assert (r["n_email"], r["n_ipv4"], r["n_phone"]) == (2, 2, 1)
+    assert r["r"] == "<EMAIL> <EMAIL> <IP> <IP> <PHONE>"
+
+
+def test_pii_plan_is_jvm_only(spark):
+    from fastfilter_spark.functions.text import pii_counts, redact_pii
+    df = spark.createDataFrame([(1, "a@b.cc")], "i int, t string")
+    counts = pii_counts(F.col("t"))
+    plan = df.select(redact_pii(F.col("t")),
+                     *[c.alias(n) for n, c in counts.items()]) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "EvalPython" not in plan
