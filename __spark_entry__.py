@@ -697,6 +697,23 @@ def q_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("doc_id"))
 
 
+_MIX_BUDGETS = {"src0": 400, "src2": 700, "src4": 1000, "src6": 1500}
+
+
+def q_token_budget_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-mix construction: per-source greedy selection in
+    deterministic hash order until each source's char budget is
+    filled (crossing doc included); sources without a budget drop.
+    The oracle reproduces the same window-cumsum selection."""
+    from fastfilter_spark.functions.text import token_budget_mix
+    docs = _t(spark, sf_dir, "documents")
+    order = F.md5(F.concat_ws("|", F.col("text"),
+                              F.col("doc_id").cast("string")))
+    picked = token_budget_mix(docs, "source", "n_chars", _MIX_BUDGETS,
+                              order_col=order)
+    return picked.select("doc_id", "source", "n_chars").orderBy("doc_id")
+
+
 def q_doc_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Vocabulary building: document frequency of the corpus's top-20
     tokens (distinct-per-doc explode -> hash agg)."""
@@ -926,6 +943,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_diversity": q_token_diversity,
         "repetition_signals": q_repetition_signals,
         "pii_redaction": q_pii_redaction,
+        "token_budget_mix": q_token_budget_mix,
         "line_dedup": q_line_dedup,
         "boilerplate_removal": q_boilerplate_removal,
         "heavy_hitters": q_heavy_hitters,
@@ -1227,6 +1245,17 @@ def oracle_sql() -> dict[str, str]:
             "FROM sig s JOIN toks t2 USING (doc_id) "
             "LEFT JOIN top ON top.doc_id = s.doc_id AND top.rn = 1 "
             "ORDER BY s.doc_id"),
+        "token_budget_mix": (
+            "WITH ranked AS (SELECT doc_id, source, n_chars, "
+            "CASE source WHEN 'src0' THEN 400 WHEN 'src2' THEN 700 "
+            "WHEN 'src4' THEN 1000 WHEN 'src6' THEN 1500 END AS budget, "
+            "sum(n_chars) OVER (PARTITION BY source ORDER BY "
+            "md5(text || '|' || CAST(doc_id AS VARCHAR)) "
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum "
+            "FROM documents "
+            "WHERE source IN ('src0', 'src2', 'src4', 'src6')) "
+            "SELECT doc_id, source, n_chars FROM ranked "
+            "WHERE cum - n_chars < budget ORDER BY doc_id"),
         "pii_redaction": (
             "WITH aug AS (SELECT doc_id, text || ' contact user' || "
             "CAST(doc_id AS VARCHAR) || '@mail.example.com from 10.1.' || "

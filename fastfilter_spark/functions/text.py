@@ -407,3 +407,43 @@ def pii_counts(text_col: Column) -> dict[str, Column]:
             F.regexp_extract_all(masked, F.lit(pat), 0)).cast("long")
         masked = F.regexp_replace(masked, pat, token)
     return counts
+
+
+def token_budget_mix(df, source_col: str, token_col: str,
+                     budgets: dict[str, int],
+                     order_col: Column | None = None):
+    """Training-mix construction: per source, keep documents in a
+    deterministic hash order until that source's TOKEN budget is
+    filled (the "sample source X down to N tokens" step that turns a
+    filtered corpus into a weighted training mixture).
+
+    A document is kept while the budget is not yet exhausted when it
+    starts (``cumulative - own <  budget``), so the crossing document
+    is included and every source with enough data reaches >= its
+    budget; sources not in ``budgets`` are dropped.
+
+    One shuffle (window over the source key).  Per-group state is the
+    running sum only.  Sources are few and docs per source huge, so
+    the window partition is the hot spot at corpus scale; the standard
+    refinement — pre-aggregate per (source, partition) token sums,
+    compute partition-level cumulative offsets on that tiny table, and
+    window only inside the boundary partition — composes from this
+    same function applied twice and is left to the caller (same
+    pattern as stratified_sample's two-phase note).
+    """
+    from pyspark.sql import Window
+
+    order = order_col if order_col is not None else F.md5(
+        F.to_json(F.struct(*[F.col(c) for c in df.columns])))
+    # explicit ROWS frame + unique tiebreak: RANGE (the default frame)
+    # would lump hash ties, making inclusion depend on tie-group sums
+    w = (Window.partitionBy(source_col)
+         .orderBy(order, F.col(token_col))
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    bmap = F.create_map(*[F.lit(x) for kv in budgets.items() for x in kv])
+    cum = F.sum(F.col(token_col)).over(w)
+    budget = bmap[F.col(source_col)]
+    return (df.withColumn("_cum", cum)
+            .where(budget.isNotNull()
+                   & ((F.col("_cum") - F.col(token_col)) < budget))
+            .drop("_cum"))

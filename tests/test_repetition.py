@@ -144,3 +144,40 @@ def test_pii_plan_is_jvm_only(spark):
                      *[c.alias(n) for n, c in counts.items()]) \
         ._jdf.queryExecution().executedPlan().toString()
     assert "EvalPython" not in plan
+
+
+# ---------------------------------------------------------------------------
+# Token-budget mixture sampling
+# ---------------------------------------------------------------------------
+
+def test_token_budget_mix_semantics(spark):
+    from fastfilter_spark.functions.text import token_budget_mix
+    rows = [(i, f"doc {i}", "a" if i < 6 else "b", 100) for i in range(9)]
+    df = spark.createDataFrame(rows, "doc_id int, text string, "
+                                     "source string, toks int")
+    # budget 250 -> greedy keeps docs while started under budget:
+    # cum 100,200,300 -> third doc STARTS at 200 < 250 (kept, crossing),
+    # fourth starts at 300 (dropped).  Source 'b' has no budget -> gone.
+    out = token_budget_mix(df, "source", "toks", {"a": 250},
+                           order_col=F.col("doc_id"))
+    got = sorted((r.source, r.doc_id) for r in out.collect())
+    assert got == [("a", 0), ("a", 1), ("a", 2)]
+
+
+def test_token_budget_mix_partition_invariant(spark):
+    from fastfilter_spark.functions.text import token_budget_mix
+    rows = [(i, f"text {i % 7} {i}", f"s{i % 3}", 10 + i % 5)
+            for i in range(120)]
+    df = spark.createDataFrame(rows, "doc_id int, text string, "
+                                     "source string, toks int")
+    budgets = {"s0": 90, "s1": 55, "s2": 200}
+    a = token_budget_mix(df.repartition(1), "source", "toks", budgets)
+    b = token_budget_mix(df.repartition(13, "text"), "source", "toks",
+                         budgets)
+    ga = sorted(r.doc_id for r in a.collect())
+    gb = sorted(r.doc_id for r in b.collect())
+    assert ga == gb and len(ga) > 0
+    # every budgeted source reaches its budget (enough data exists)
+    sums = {r.source: r.s for r in
+            a.groupBy("source").agg(F.sum("toks").alias("s")).collect()}
+    assert all(sums[s] >= budgets[s] for s in budgets)
