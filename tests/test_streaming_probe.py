@@ -1,0 +1,131 @@
+"""StreamingFilterProbe: semi-join pruning of a stream against the
+incrementally-maintained filter (drop/keep modes, snapshot refresh,
+empty-maintainer bootstrap)."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql.types import LongType, StructField, StructType
+
+from fastfilter_spark.streaming.incremental import (
+    IncrementalFilterMaintainer,
+)
+from fastfilter_spark.streaming.probe import StreamingFilterProbe
+
+_SCHEMA = StructType([StructField("value", LongType(), False)])
+
+# disjoint deterministic key families
+def _member_keys(spark, lo, hi):
+    return spark.range(lo, hi).select(
+        (F.col("id") * 2654435761).alias("value"))
+
+
+def _novel_keys(spark, n):
+    return spark.range(n).select(
+        (F.col("id") * 888888877777777 + 3).alias("value"))
+
+
+def _feed(spark, df, src_dir):
+    df.coalesce(1).write.mode("append").parquet(src_dir)
+
+
+def _run(spark, src_dir, ckpt, sink):
+    stream = spark.readStream.schema(_SCHEMA).parquet(src_dir)
+    q = (stream.writeStream.foreachBatch(sink)
+         .option("checkpointLocation", ckpt).trigger(availableNow=True)
+         .start())
+    q.awaitTermination(300)
+
+
+@pytest.fixture()
+def maintained(spark, tmp_path):
+    """Maintainer fed with keys 0..4000 via a real stream."""
+    maint = IncrementalFilterMaintainer(str(tmp_path / "m"),
+                                        key_col="value", kind="fuse8",
+                                        shard_bits=2)
+    _feed(spark, _member_keys(spark, 0, 4000), str(tmp_path / "msrc"))
+    _run(spark, str(tmp_path / "msrc"), str(tmp_path / "mckpt"),
+         maint.process_batch)
+    return maint
+
+
+def test_drop_members_prunes_stream(spark, tmp_path, maintained):
+    out = str(tmp_path / "out")
+    probe = StreamingFilterProbe(maintained, "value", out,
+                                 mode="drop_members")
+    src = str(tmp_path / "psrc")
+    _feed(spark, _member_keys(spark, 0, 2000), src)      # members
+    _feed(spark, _novel_keys(spark, 2000), src)          # novel
+    _run(spark, src, str(tmp_path / "pckpt"), probe.process_batch)
+
+    kept = spark.read.parquet(out)
+    members = {r.value for r in _member_keys(spark, 0, 2000).collect()}
+    kept_vals = [r.value for r in kept.collect()]
+    # zero false negatives => every member dropped
+    assert not any(v in members for v in kept_vals)
+    # novel keys survive modulo fpp (2^-8): expect >= 1980 of 2000
+    assert len(kept_vals) >= 1980
+
+
+def test_keep_members_mode(spark, tmp_path, maintained):
+    out = str(tmp_path / "out")
+    probe = StreamingFilterProbe(maintained, "value", out,
+                                 mode="keep_members")
+    src = str(tmp_path / "psrc")
+    _feed(spark, _member_keys(spark, 0, 1000), src)
+    _feed(spark, _novel_keys(spark, 1000), src)
+    _run(spark, src, str(tmp_path / "pckpt"), probe.process_batch)
+
+    kept = spark.read.parquet(out)
+    members = {r.value for r in _member_keys(spark, 0, 1000).collect()}
+    kept_vals = [r.value for r in kept.collect()]
+    n_member_kept = sum(v in members for v in kept_vals)
+    assert n_member_kept == 1000          # all members kept
+    assert len(kept_vals) - n_member_kept <= 20   # ~fpp extras
+
+
+def test_snapshot_refreshes_between_batches(spark, tmp_path, maintained):
+    """Keys added to the maintainer between probe micro-batches are
+    dropped once the probe refreshes its snapshot."""
+    out = str(tmp_path / "out")
+    probe = StreamingFilterProbe(maintained, "value", out,
+                                 mode="drop_members", refresh_every=1)
+    src = str(tmp_path / "psrc")
+    newly = _member_keys(spark, 4000, 4500)   # NOT yet in the filter
+
+    # batch 1: the new keys pass (stale-bound behavior, under-drop);
+    # a few can collide as false positives against the 4000 existing
+    _feed(spark, newly, src)
+    _run(spark, src, str(tmp_path / "pckpt"), probe.process_batch)
+    n1 = spark.read.parquet(out).count()
+    assert 480 <= n1 <= 500
+
+    # maintainer learns them; next probe batch must drop them ALL
+    # (members never probe False) -> zero new survivors
+    _feed(spark, newly, str(tmp_path / "m2src"))
+    _run(spark, str(tmp_path / "m2src"), str(tmp_path / "m2ckpt"),
+         maintained.process_batch)
+    _feed(spark, newly, src)
+    _run(spark, src, str(tmp_path / "pckpt"), probe.process_batch)
+    assert spark.read.parquet(out).count() == n1
+
+
+def test_empty_maintainer_passes_everything(spark, tmp_path):
+    maint = IncrementalFilterMaintainer(str(tmp_path / "m"),
+                                        key_col="value", kind="fuse8",
+                                        shard_bits=2)
+    out = str(tmp_path / "out")
+    probe = StreamingFilterProbe(maint, "value", out,
+                                 mode="drop_members")
+    src = str(tmp_path / "psrc")
+    _feed(spark, _novel_keys(spark, 300), src)
+    _run(spark, src, str(tmp_path / "pckpt"), probe.process_batch)
+    assert spark.read.parquet(out).count() == 300
+
+
+def test_mode_validation():
+    with pytest.raises(ValueError, match="unknown mode"):
+        StreamingFilterProbe(None, "k", "/tmp/x", mode="bogus")
+    with pytest.raises(ValueError, match="refresh_every"):
+        StreamingFilterProbe(None, "k", "/tmp/x", refresh_every=0)
