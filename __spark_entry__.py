@@ -738,6 +738,24 @@ def q_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_train long, n_eval long, n_contaminated long, n_clean long")
 
 
+def q_ngram_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GPT-3-style n-gram decontamination (n=8 on this small corpus):
+    train docs sharing ANY token 8-gram with the eval slice (every
+    10th doc) are removed.  Architecture: broadcast fuse8 filter over
+    eval gram hashes prunes the exploded train grams map-side; exact
+    gram-string semi join kills filter fp; distinct contaminated ids
+    drive a broadcast anti join.  The oracle recomputes overlap
+    exactly from scratch."""
+    from fastfilter_spark.operators.dedup import ngram_decontaminate
+    docs = _t(spark, sf_dir, "documents")
+    ev = docs.where(F.col("doc_id") % 10 == 0)
+    clean = ngram_decontaminate(docs, ev, n=8)
+    cont = ngram_decontaminate(docs, ev, n=8, invert=True)
+    return spark.createDataFrame(
+        [(docs.count(), cont.count(), clean.count())],
+        "n_train long, n_contaminated long, n_clean long")
+
+
 def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Training-mix sampling: 2 docs per (lang, source) cell, ranked by
     md5(text) — fully deterministic, engine-portable."""
@@ -944,6 +962,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition_signals": q_repetition_signals,
         "pii_redaction": q_pii_redaction,
         "token_budget_mix": q_token_budget_mix,
+        "ngram_decontamination": q_ngram_decontamination,
         "line_dedup": q_line_dedup,
         "boilerplate_removal": q_boilerplate_removal,
         "heavy_hitters": q_heavy_hitters,
@@ -1245,6 +1264,19 @@ def oracle_sql() -> dict[str, str]:
             "FROM sig s JOIN toks t2 USING (doc_id) "
             "LEFT JOIN top ON top.doc_id = s.doc_id AND top.rn = 1 "
             "ORDER BY s.doc_id"),
+        "ngram_decontamination": (
+            "WITH tok AS (SELECT doc_id, list_filter(string_split_regex("
+            "lower(text), '[^a-z]+'), x -> x <> '') AS tk "
+            "FROM documents), "
+            "grams AS (SELECT doc_id, array_to_string("
+            "tk[CAST(i AS INT) : CAST(i AS INT) + 7], ' ') AS gram "
+            "FROM tok, UNNEST(range(1, len(tk) - 6)) AS u(i)), "
+            "cont AS (SELECT DISTINCT doc_id FROM grams WHERE gram IN "
+            "(SELECT DISTINCT gram FROM grams WHERE doc_id % 10 = 0)) "
+            "SELECT (SELECT count(*) FROM documents) AS n_train, "
+            "(SELECT count(*) FROM cont) AS n_contaminated, "
+            "(SELECT count(*) FROM documents) - "
+            "(SELECT count(*) FROM cont) AS n_clean"),
         "token_budget_mix": (
             "WITH ranked AS (SELECT doc_id, source, n_chars, "
             "CASE source WHEN 'src0' THEN 400 WHEN 'src2' THEN 700 "

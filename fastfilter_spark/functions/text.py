@@ -447,3 +447,18 @@ def token_budget_mix(df, source_col: str, token_col: str,
             .where(budget.isNotNull()
                    & ((F.col("_cum") - F.col(token_col)) < budget))
             .drop("_cum"))
+
+
+def token_ngrams(text_col: Column, n: int) -> Column:
+    """Token n-grams as space-joined strings (``array<string>``;
+    empty when the document has < n tokens).  Pure JVM transform over
+    :func:`word_tokens` — per-row codegen, no explode, no Python; the
+    caller decides if/when to explode."""
+    if n < 1:
+        raise ValueError("n must be >= 1")
+    toks = word_tokens(text_col)
+    return F.when(
+        F.size(toks) >= n,
+        F.transform(F.sequence(F.lit(1), F.size(toks) - n + 1),
+                    lambda i: F.concat_ws(" ", F.slice(toks, i, n)))
+    ).otherwise(F.array().cast("array<string>"))

@@ -613,3 +613,55 @@ def remove_boilerplate_lines(docs: DataFrame, min_docs: int,
             .join(rebuilt, id_col, "left")
             .select(F.col(id_col),
                     F.coalesce("text_clean", F.lit("")).alias("text_clean")))
+
+
+def ngram_decontaminate(train: DataFrame, eval_df: DataFrame,
+                        text_col: str = "text",
+                        eval_text_col: str | None = None,
+                        id_col: str = "doc_id", n: int = 13,
+                        kind: str = "fuse8", shard_bits: int = 0,
+                        invert: bool = False) -> DataFrame:
+    """N-gram decontamination (the GPT-3 appendix-C shape): remove
+    train documents sharing ANY token ``n``-gram with the eval set —
+    exact-text matching (:func:`decontaminate`) misses eval questions
+    embedded inside a longer page; n-gram overlap catches them.
+
+    Same filter-first architecture as :func:`decontaminate`, one level
+    down (grams, not documents):
+
+    1. eval's distinct gram strings (small: |eval| x ~tokens) back a
+       broadcast sharded fuse filter on ``xxhash64(gram)``;
+    2. train explodes to (id, gram) — a map-side flatMap, NO shuffle —
+       and the vectorized probe discards ~every gram before anything
+       wide happens (no false negatives: a contaminated gram cannot
+       slip past);
+    3. probe survivors (true matches + 2^-8 fp) hit an exact broadcast
+       LEFT SEMI join on the gram STRING, so hash collisions cannot
+       condemn a clean document;
+    4. the distinct contaminated id set (tiny in practice) drives the
+       final broadcast anti/semi join against train.
+
+    The only exchange over train-sized data is the distinct() on
+    contaminated ids AFTER both pruning stages.  ``n`` defaults to 13
+    (the published choice); small/synthetic corpora want smaller n.
+    """
+    from fastfilter_spark.functions.text import token_ngrams
+    from fastfilter_spark.operators.dist import build_sharded
+
+    ecol = eval_text_col or text_col
+    spark = train.sparkSession
+    ev_grams = (eval_df.select(
+        F.explode(token_ngrams(F.col(ecol), n)).alias("gram"))
+        .dropDuplicates())
+    ev_keys = ev_grams.select(F.xxhash64("gram").alias("key")) \
+        .dropDuplicates()
+    sf, _ = build_sharded(ev_keys, "key", kind=kind,
+                          shard_bits=shard_bits)
+    tg = train.select(F.col(id_col),
+                      F.explode(token_ngrams(F.col(text_col), n))
+                      .alias("gram"))
+    maybe = tg.where(sf.contains_udf(spark)(F.xxhash64("gram")))
+    contaminated = (maybe.join(F.broadcast(ev_grams), "gram", "left_semi")
+                    .select(id_col).distinct())
+    how = "left_semi" if invert else "left_anti"
+    return train.join(F.broadcast(contaminated), id_col, how)

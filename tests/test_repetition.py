@@ -181,3 +181,49 @@ def test_token_budget_mix_partition_invariant(spark):
     sums = {r.source: r.s for r in
             a.groupBy("source").agg(F.sum("toks").alias("s")).collect()}
     assert all(sums[s] >= budgets[s] for s in budgets)
+
+
+# ---------------------------------------------------------------------------
+# token n-grams + n-gram decontamination
+# ---------------------------------------------------------------------------
+
+def test_token_ngrams_values_and_edges(spark):
+    from fastfilter_spark.functions.text import token_ngrams
+    df = spark.createDataFrame(
+        [(1, "The quick brown fox"), (2, "too short"), (3, "")],
+        "i int, t string")
+    got = {r.i: r.g for r in
+           df.select("i", token_ngrams(F.col("t"), 3).alias("g"))
+           .collect()}
+    assert got[1] == ["the quick brown", "quick brown fox"]
+    assert got[2] == []
+    assert got[3] == []
+
+
+def test_ngram_decontaminate_planted(spark):
+    """An eval question EMBEDDED inside a longer train page must be
+    caught (the case exact-text decontamination misses)."""
+    from fastfilter_spark.operators.dedup import ngram_decontaminate
+    q = "what is the airspeed velocity of an unladen swallow"
+    train = spark.createDataFrame([
+        (1, f"intro text here {q} and a long tail of words"),
+        (2, "a completely unrelated document about spark shuffles"),
+        (3, "another clean page that shares nothing with the evals"),
+    ], "doc_id long, text string")
+    ev = spark.createDataFrame([(100, q)], "doc_id long, text string")
+
+    clean = ngram_decontaminate(train, ev, n=5)
+    assert sorted(r.doc_id for r in clean.collect()) == [2, 3]
+    cont = ngram_decontaminate(train, ev, n=5, invert=True)
+    assert [r.doc_id for r in cont.collect()] == [1]
+
+
+def test_ngram_decontaminate_n_larger_than_eval(spark):
+    """Eval docs shorter than n contribute no grams: nothing removed."""
+    from fastfilter_spark.operators.dedup import ngram_decontaminate
+    train = spark.createDataFrame(
+        [(1, "short shared words here")], "doc_id long, text string")
+    ev = spark.createDataFrame([(2, "short shared")],
+                               "doc_id long, text string")
+    out = ngram_decontaminate(train, ev, n=4)
+    assert out.count() == 1
