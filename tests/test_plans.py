@@ -153,3 +153,52 @@ def test_build_sharded_from_bucketed_rejects_unbucketed(spark, lineitem):
             build_sharded_from_bucketed(spark, table)
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {table}")
+
+
+def test_ngram_decontaminate_plan_shape(spark, sf_dir):
+    """Both joins must be broadcast hash joins (gram semi + id anti) —
+    a SortMergeJoin here means the train side is being shuffled."""
+    from fastfilter_spark.operators.dedup import ngram_decontaminate
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    ev = docs.where(F.col("doc_id") % 10 == 0)
+    plan = _plan(ngram_decontaminate(docs, ev, n=8))
+    assert "SortMergeJoin" not in plan
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "LeftAnti" in plan and "LeftSemi" in plan
+    assert "CartesianProduct" not in plan and "NestedLoop" not in plan
+
+
+def test_token_budget_mix_single_exchange(spark, sf_dir):
+    """One shuffle only (the window over the source key); the cumsum
+    filter must not add another."""
+    from fastfilter_spark.functions.text import token_budget_mix
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = token_budget_mix(docs, "source", "n_chars",
+                           {"src0": 500, "src1": 500})
+    plan = _plan(out)
+    # formatted explain names each node twice (tree + detail section)
+    tree = plan.split("\n\n")[0]
+    assert tree.count("Exchange") == 1, tree
+    assert "EvalPython" not in plan
+    # the budget-key membership filter is pushed below the exchange
+    # (non-budgeted sources never shuffle)
+    assert plan.index("Exchange") > plan.index("Filter")
+
+
+def test_pii_and_repetition_signals_stay_codegen(spark, sf_dir):
+    """Scrub + repetition signals are scan-project only: no exchange,
+    no Python, and the scan reads just the needed columns."""
+    from fastfilter_spark.functions.text import (
+        pii_counts, redact_pii, repetition_signal_columns,
+    )
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    sig = repetition_signal_columns(F.col("text"), sep=" ")
+    counts = pii_counts(F.col("text"))
+    q = docs.select("doc_id", redact_pii(F.col("text")).alias("r"),
+                    *[c.alias(n) for n, c in sig.items()],
+                    *[c.alias(n) for n, c in counts.items()])
+    plan = _plan(q)
+    assert "Exchange" not in plan
+    assert "EvalPython" not in plan
+    read = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
+    assert read and "text" in read[0] and "source" not in read[0]
