@@ -462,3 +462,65 @@ def token_ngrams(text_col: Column, n: int) -> Column:
         F.transform(F.sequence(F.lit(1), F.size(toks) - n + 1),
                     lambda i: F.concat_ws(" ", F.slice(toks, i, n)))
     ).otherwise(F.array().cast("array<string>"))
+
+
+def token_budget_mix_twophase(df, source_col: str, token_col: str,
+                              budgets: dict[str, int],
+                              order_col: Column | None = None,
+                              bucket_chars: int = 2):
+    """Hot-source form of :func:`token_budget_mix`, same selection
+    bit-for-bit (tested): when one source holds most of the corpus, a
+    single window partition would funnel it through one task.  Split
+    the hash order into ``16^bucket_chars`` prefix buckets (a hash
+    prefix is order-preserving, so bucket boundaries respect the
+    global order), then:
+
+    1. per-(source, bucket) token sums — a tiny map-side-combined agg;
+    2. cumulative bucket offsets per source on that stats table;
+    3. buckets that END under budget are kept WHOLE with no window
+       and no shuffle (broadcast join against the stats table only);
+       buckets that START at/past budget drop entirely; only the
+       boundary bucket(s) — ~corpus/buckets rows per source — pay the
+       within-bucket window, with the bucket offset added.
+
+    The corpus-sized data therefore never enters a window; the only
+    row shuffle is the boundary slice.
+    """
+    from pyspark.sql import Window
+
+    order = order_col if order_col is not None else F.md5(
+        F.to_json(F.struct(*[F.col(c) for c in df.columns])))
+    bmap = F.create_map(*[F.lit(x) for kv in budgets.items() for x in kv])
+    for helper in ("_tbm_ord", "_tbm_bkt", "_tbm_off", "_tbm_sum"):
+        if helper in df.columns:
+            raise ValueError(f"column {helper!r} is used internally; "
+                             "rename it first")
+    keyed = (df.where(bmap[F.col(source_col)].isNotNull())
+             .withColumn("_tbm_ord", order)
+             .withColumn("_tbm_bkt", F.substring("_tbm_ord", 1,
+                                                 bucket_chars)))
+    stats = (keyed.groupBy(source_col, "_tbm_bkt")
+             .agg(F.sum(token_col).alias("_tbm_sum")))
+    woff = (Window.partitionBy(source_col).orderBy("_tbm_bkt")
+            .rowsBetween(Window.unboundedPreceding, -1))
+    stats = stats.withColumn(
+        "_tbm_off", F.coalesce(F.sum("_tbm_sum").over(woff), F.lit(0)))
+    budget = bmap[F.col(source_col)]
+
+    joined = keyed.join(F.broadcast(stats), [source_col, "_tbm_bkt"])
+    helpers = ["_tbm_ord", "_tbm_bkt", "_tbm_off", "_tbm_sum"]
+    # whole buckets strictly under budget: no window, no shuffle
+    full = joined.where(
+        (F.col("_tbm_off") + F.col("_tbm_sum")) < budget).drop(*helpers)
+    # boundary bucket(s): window only this slice, offset added
+    wcum = (Window.partitionBy(source_col, "_tbm_bkt")
+            .orderBy("_tbm_ord", F.col(token_col))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    bdry = (joined.where(
+        (F.col("_tbm_off") < budget)
+        & ((F.col("_tbm_off") + F.col("_tbm_sum")) >= budget))
+        .withColumn("_tbm_cum",
+                    F.col("_tbm_off") + F.sum(F.col(token_col)).over(wcum))
+        .where((F.col("_tbm_cum") - F.col(token_col)) < budget)
+        .drop("_tbm_cum", *helpers))
+    return full.unionByName(bdry)

@@ -227,3 +227,46 @@ def test_ngram_decontaminate_n_larger_than_eval(spark):
                                "doc_id long, text string")
     out = ngram_decontaminate(train, ev, n=4)
     assert out.count() == 1
+
+
+def test_token_budget_mix_twophase_equals_single_phase(spark):
+    from fastfilter_spark.functions.text import (
+        token_budget_mix, token_budget_mix_twophase,
+    )
+    rows = [(i, f"w{i % 11} t{i}", f"s{i % 2}", 5 + i % 9)
+            for i in range(400)]
+    df = spark.createDataFrame(rows, "doc_id int, text string, "
+                                     "source string, toks int")
+    for budgets in ({"s0": 300, "s1": 170},
+                    {"s0": 1}, {"s0": 10**9, "s1": 7}):
+        a = sorted(r.doc_id for r in
+                   token_budget_mix(df, "source", "toks", budgets)
+                   .collect())
+        b = sorted(r.doc_id for r in
+                   token_budget_mix_twophase(df, "source", "toks",
+                                             budgets).collect())
+        assert a == b, budgets
+    # 16^1 = 16 buckets exercises multi-row boundary buckets
+    a = sorted(r.doc_id for r in
+               token_budget_mix(df, "source", "toks", {"s0": 444})
+               .collect())
+    b = sorted(r.doc_id for r in
+               token_budget_mix_twophase(df, "source", "toks",
+                                         {"s0": 444}, bucket_chars=1)
+               .collect())
+    assert a == b
+
+
+def test_token_budget_mix_twophase_plan(spark):
+    """Stats join must be broadcast; the corpus-sized full-keep branch
+    must not pass through any Window node."""
+    from fastfilter_spark.functions.text import token_budget_mix_twophase
+    df = spark.range(1000).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("t"), F.col("id")).alias("text"),
+        F.lit("s0").alias("source"),
+        (F.col("id") % 7 + 1).alias("toks"))
+    out = token_budget_mix_twophase(df, "source", "toks", {"s0": 500})
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastHashJoin" in plan
