@@ -756,6 +756,34 @@ def q_ngram_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_train long, n_contaminated long, n_clean long")
 
 
+def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-cluster resolution: near-dup PAIRS become components
+    via shortcutted min-label propagation, then one canonical doc per
+    cluster survives.  Deterministic chain edges (doc, doc+20 within a
+    source, broken every third link) give diameter-2 components the
+    propagation must actually traverse; the oracle recomputes
+    components exactly with a recursive CTE."""
+    from fastfilter_spark.operators.graph import (
+        connected_components, keep_cluster_representative,
+    )
+    docs = _t(spark, sf_dir, "documents")
+    d2 = docs.select(F.col("doc_id").alias("b_id"),
+                     F.col("source").alias("b_src"))
+    pairs = (docs.join(d2, (F.col("b_id") == F.col("doc_id") + 20)
+                       & (F.col("source") == F.col("b_src")))
+             .where(F.col("doc_id") % 60 < 40)
+             .select(F.col("doc_id").alias("a"), F.col("b_id").alias("b")))
+    comps = connected_components(pairs, "a", "b")
+    sizes = (comps.groupBy("comp").agg(F.count("*").alias("n_nodes"))
+             .orderBy("comp"))
+    kept = keep_cluster_representative(docs, pairs, "doc_id", "a", "b")
+    total = spark.createDataFrame(
+        [(-1, kept.count())], "comp long, n_nodes long")
+    return total.unionByName(sizes.select(F.col("comp").cast("long"),
+                                          F.col("n_nodes").cast("long"))) \
+        .orderBy("comp")
+
+
 def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Training-mix sampling: 2 docs per (lang, source) cell, ranked by
     md5(text) — fully deterministic, engine-portable."""
@@ -963,6 +991,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_redaction": q_pii_redaction,
         "token_budget_mix": q_token_budget_mix,
         "ngram_decontamination": q_ngram_decontamination,
+        "dedup_components": q_dedup_components,
         "line_dedup": q_line_dedup,
         "boilerplate_removal": q_boilerplate_removal,
         "heavy_hitters": q_heavy_hitters,
@@ -1264,6 +1293,26 @@ def oracle_sql() -> dict[str, str]:
             "FROM sig s JOIN toks t2 USING (doc_id) "
             "LEFT JOIN top ON top.doc_id = s.doc_id AND top.rn = 1 "
             "ORDER BY s.doc_id"),
+        "dedup_components": (
+            "WITH RECURSIVE p AS (SELECT d1.doc_id AS a, d2.doc_id AS b "
+            "FROM documents d1 JOIN documents d2 "
+            "ON d2.doc_id = d1.doc_id + 20 AND d1.source = d2.source "
+            "WHERE d1.doc_id % 60 < 40), "
+            "edges AS (SELECT a AS x, b AS y FROM p "
+            "UNION SELECT b, a FROM p), "
+            "reach AS (SELECT x AS node, x AS r FROM "
+            "(SELECT DISTINCT x FROM edges) n "
+            "UNION SELECT e.x AS node, reach.r FROM edges e "
+            "JOIN reach ON e.y = reach.node), "
+            "comps AS (SELECT node, min(r) AS comp FROM reach "
+            "GROUP BY node), "
+            "sizes AS (SELECT CAST(comp AS BIGINT) AS comp, "
+            "count(*) AS n_nodes FROM comps GROUP BY comp), "
+            "kept AS (SELECT CAST(-1 AS BIGINT) AS comp, "
+            "(SELECT count(*) FROM documents) - "
+            "(SELECT count(*) FROM comps WHERE node <> comp) AS n_nodes) "
+            "SELECT comp, n_nodes FROM kept "
+            "UNION ALL SELECT comp, n_nodes FROM sizes ORDER BY comp"),
         "ngram_decontamination": (
             "WITH tok AS (SELECT doc_id, list_filter(string_split_regex("
             "lower(text), '[^a-z]+'), x -> x <> '') AS tk "

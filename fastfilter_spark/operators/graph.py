@@ -1,0 +1,103 @@
+"""Connected components over near-duplicate pairs.
+
+The dedup operators (minhash / simhash / embedding) emit PAIRS; a
+corpus dedup must then keep ONE document per duplicate CLUSTER =
+connected component of the pair graph.  This is the standard last
+step of web-scale dedup pipelines (the reference library has no text
+layer; this feeds its filters a deduplicated key stream).
+
+Algorithm: iterative min-label propagation with pointer-jumping.
+Each round every node takes the min label over {self} ∪ neighbors
+(one join + one groupBy on the EDGE table), then labels shortcut
+through themselves (``comp := label[comp]`` — one join on the tiny
+node table).  Propagation alone needs diameter(D) rounds; the
+shortcut makes it O(log D).  Near-dup clusters are shallow (pairs
+come from shared buckets), so 3-5 rounds converge in practice; the
+loop stops at the first round with zero label changes and RAISES if
+``max_iter`` rounds were not enough — silently-wrong components would
+silently under-dedup.
+
+Scale shape per round: the big join is edges ⋈ labels on the
+neighbor key — both sides hash-partitioned on the same key, with the
+groupBy(min) partially aggregated map-side; the label table is
+node-sized (small relative to the corpus: only docs that appear in a
+pair).  Lineage is cut with localCheckpoint every few rounds so the
+iterative plan does not grow unboundedly (the classic Spark iterative-
+algorithm failure mode).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["connected_components", "keep_cluster_representative"]
+
+
+def connected_components(pairs: DataFrame, a_col: str, b_col: str,
+                         max_iter: int = 25,
+                         checkpoint_every: int = 4) -> DataFrame:
+    """(node, comp) for every node appearing in ``pairs``; ``comp`` is
+    the component's MINIMUM node id (deterministic canonical label).
+    """
+    edges = pairs.select(F.col(a_col).cast("long").alias("x"),
+                         F.col(b_col).cast("long").alias("y"))
+    edges = edges.where(F.col("x").isNotNull() & F.col("y").isNotNull())
+    edges = (edges.union(edges.select(F.col("y").alias("x"),
+                                      F.col("x").alias("y")))
+             .distinct())
+    edges = edges.localCheckpoint(eager=True)
+
+    labels = (edges.select(F.col("x").alias("node")).distinct()
+              .withColumn("comp", F.col("node")))
+
+    for it in range(max_iter):
+        # 1. neighbor-min: the smallest label any neighbor carries
+        nbr = (edges.join(labels.select(F.col("node").alias("y"),
+                                        F.col("comp").alias("ncomp")),
+                          "y")
+               .groupBy("x").agg(F.min("ncomp").alias("nbr_comp")))
+        new = (labels.join(nbr.select(F.col("x").alias("node"),
+                                      "nbr_comp"), "node", "left")
+               .select("node",
+                       F.least("comp", F.coalesce("nbr_comp", "comp"))
+                       .alias("comp")))
+        # 2. pointer-jump: comp := label[comp]  (O(log D) convergence)
+        jump = new.select(F.col("node").alias("comp"),
+                          F.col("comp").alias("jcomp"))
+        new = (new.join(jump, "comp", "left")
+               .select("node",
+                       F.least("comp", F.coalesce("jcomp", "comp"))
+                       .alias("comp")))
+        if (it + 1) % checkpoint_every == 0:
+            new = new.localCheckpoint(eager=True)
+        changed = (new.alias("n")
+                   .join(labels.alias("o"), "node")
+                   .where(F.col("n.comp") != F.col("o.comp")).count())
+        labels = new
+        if changed == 0:
+            return labels.localCheckpoint(eager=True)
+    raise RuntimeError(
+        f"connected_components did not converge in {max_iter} rounds "
+        "(graph diameter too large for the shortcutted propagation "
+        "budget); raise max_iter — returning unconverged labels would "
+        "silently under-dedup")
+
+
+def keep_cluster_representative(df: DataFrame, pairs: DataFrame,
+                                id_col: str, a_col: str, b_col: str,
+                                invert: bool = False) -> DataFrame:
+    """Drop every clustered document except its component's canonical
+    (minimum-id) representative; rows in no pair are all kept
+    (singletons are their own representative).  ``invert=True``
+    returns the dropped duplicates instead.
+
+    The component table covers only paired docs (small next to the
+    corpus), so the final join broadcasts the drop-list against the
+    full table — the corpus itself never shuffles.
+    """
+    comps = connected_components(pairs, a_col, b_col)
+    losers = comps.where(F.col("node") != F.col("comp")) \
+        .select(F.col("node").alias(id_col))
+    how = "left_semi" if invert else "left_anti"
+    return df.join(F.broadcast(losers), id_col, how)

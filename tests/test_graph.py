@@ -1,0 +1,64 @@
+"""Connected components + cluster-representative dedup."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from fastfilter_spark.operators.graph import (
+    connected_components, keep_cluster_representative,
+)
+
+
+def _pairs(spark, edges):
+    return spark.createDataFrame(edges, "a long, b long")
+
+
+def _comps(spark, edges, **kw):
+    out = connected_components(_pairs(spark, edges), "a", "b", **kw)
+    return {r.node: r.comp for r in out.collect()}
+
+
+def test_components_basic_shapes(spark):
+    got = _comps(spark, [(1, 2), (2, 3), (10, 11), (20, 20)])
+    assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 20: 20}
+
+
+def test_components_long_path_needs_pointer_jumping(spark):
+    """A 24-node path has diameter 23; plain propagation would need 23
+    rounds — the shortcut must converge well inside max_iter=10."""
+    edges = [(i, i + 1) for i in range(23)]
+    got = _comps(spark, edges, max_iter=10)
+    assert set(got.values()) == {0}
+    assert len(got) == 24
+
+
+def test_components_star_and_cycle(spark):
+    edges = [(100, i) for i in range(5)] + [(7, 8), (8, 9), (9, 7)]
+    got = _comps(spark, edges)
+    assert {got[i] for i in [100, 0, 1, 2, 3, 4]} == {0}
+    assert {got[i] for i in [7, 8, 9]} == {7}
+
+
+def test_components_unconverged_raises(spark):
+    edges = [(i, i + 1) for i in range(40)]
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(_pairs(spark, edges), "a", "b", max_iter=2)
+
+
+def test_keep_cluster_representative(spark):
+    docs = spark.createDataFrame([(i, f"t{i}") for i in range(8)],
+                                 "doc_id long, text string")
+    pairs = _pairs(spark, [(1, 3), (3, 5), (6, 7)])
+    kept = keep_cluster_representative(docs, pairs, "doc_id", "a", "b")
+    assert sorted(r.doc_id for r in kept.collect()) == [0, 1, 2, 4, 6]
+    dropped = keep_cluster_representative(docs, pairs, "doc_id", "a",
+                                          "b", invert=True)
+    assert sorted(r.doc_id for r in dropped.collect()) == [3, 5, 7]
+
+
+def test_empty_pairs_keep_everything(spark):
+    docs = spark.createDataFrame([(i, "x") for i in range(5)],
+                                 "doc_id long, text string")
+    pairs = _pairs(spark, []) if False else \
+        spark.createDataFrame([], "a long, b long")
+    kept = keep_cluster_representative(docs, pairs, "doc_id", "a", "b")
+    assert kept.count() == 5
