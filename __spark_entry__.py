@@ -756,6 +756,70 @@ def q_ngram_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_train long, n_contaminated long, n_clean long")
 
 
+_FUNNEL_LANG_BUDGET = {"de": 2000, "en": 5000, "es": 2000, "fr": 2000,
+                       "zh": 2500}
+
+
+def q_corpus_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end corpus construction funnel, every stage the real
+    library operator: quality gate (token count + diversity, integer
+    thresholds) → intra-doc line dedup → exact dedup (min-id
+    representative) → decontamination vs the eval slice →
+    per-lang token-budget mix.  One row per stage with surviving doc
+    count and char volume; the oracle replays the whole funnel in SQL.
+    """
+    from pyspark.sql import Window
+
+    from fastfilter_spark.functions.text import (
+        dedup_lines, distinct_token_ratio_columns, token_budget_mix,
+    )
+    from fastfilter_spark.operators.dedup import decontaminate
+
+    docs = _t(spark, sf_dir, "documents")
+    stages: list[tuple[int, DataFrame, str]] = [(0, docs, "text")]
+
+    cols = distinct_token_ratio_columns(F.col("text"))
+    qual = (docs.withColumn("_nt", cols["n_tokens"])
+            .withColumn("_nd", cols["n_distinct_tokens"])
+            .where((F.col("_nt") >= 20)
+                   & (10 * F.col("_nd") >= 4 * F.col("_nt")))
+            .drop("_nt", "_nd"))
+    stages.append((1, qual, "text"))
+
+    ld = qual.withColumn("dtext", dedup_lines(F.col("text"), sep=" "))
+    stages.append((2, ld, "dtext"))
+
+    w = Window.partitionBy("dtext").orderBy("doc_id")
+    ed = (ld.withColumn("_rn", F.row_number().over(w))
+          .where(F.col("_rn") == 1).drop("_rn"))
+    stages.append((3, ed, "dtext"))
+
+    ev = (docs.where(F.col("doc_id") % 10 == 0)
+          .select(dedup_lines(F.col("text"), sep=" ").alias("dtext")))
+    dc = decontaminate(ed, ev, text_col="dtext")
+    stages.append((4, dc, "dtext"))
+
+    order = F.md5(F.concat_ws("|", F.col("dtext"),
+                              F.col("doc_id").cast("string")))
+    mixed = token_budget_mix(
+        dc.withColumn("_chars", F.length("dtext").cast("long")),
+        "lang", "_chars", _FUNNEL_LANG_BUDGET, order_col=order)
+    stages.append((5, mixed, "dtext"))
+
+    rows = [
+        df.agg(F.count("*").cast("long").alias("n_docs"),
+               F.coalesce(F.sum(F.length(tc)), F.lit(0)).cast("long")
+               .alias("sum_chars"))
+        .select(F.lit(s).cast("long").alias("stage"), "n_docs",
+                "sum_chars")
+        for s, df, tc in stages
+    ]
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out.orderBy("stage")
+
+
 def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Duplicate-cluster resolution: near-dup PAIRS become components
     via shortcutted min-label propagation, then one canonical doc per
@@ -992,6 +1056,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_budget_mix": q_token_budget_mix,
         "ngram_decontamination": q_ngram_decontamination,
         "dedup_components": q_dedup_components,
+        "corpus_funnel": q_corpus_funnel,
         "line_dedup": q_line_dedup,
         "boilerplate_removal": q_boilerplate_removal,
         "heavy_hitters": q_heavy_hitters,
@@ -1293,6 +1358,64 @@ def oracle_sql() -> dict[str, str]:
             "FROM sig s JOIN toks t2 USING (doc_id) "
             "LEFT JOIN top ON top.doc_id = s.doc_id AND top.rn = 1 "
             "ORDER BY s.doc_id"),
+        "corpus_funnel": (
+            "WITH tok AS (SELECT doc_id, text, lang, list_filter("
+            "string_split_regex(lower(text), '[^a-z]+'), x -> x <> '') "
+            "AS tk FROM documents), "
+            "qual AS (SELECT doc_id, text, lang FROM tok "
+            "WHERE len(tk) >= 20 AND "
+            "10 * len(list_distinct(tk)) >= 4 * len(tk)), "
+            "lines AS (SELECT doc_id, "
+            "unnest(string_split(text, ' ')) AS line, "
+            "unnest(generate_series(1, len(string_split(text, ' ')))) "
+            "AS pos FROM qual), "
+            "firsts AS (SELECT doc_id, line, min(pos) AS pos "
+            "FROM lines GROUP BY doc_id, line), "
+            "ld AS (SELECT f.doc_id, q.lang, "
+            "string_agg(f.line, ' ' ORDER BY f.pos) AS dtext "
+            "FROM firsts f JOIN qual q ON q.doc_id = f.doc_id "
+            "GROUP BY f.doc_id, q.lang), "
+            "ed AS (SELECT doc_id, lang, dtext FROM "
+            "(SELECT doc_id, lang, dtext, row_number() OVER "
+            "(PARTITION BY dtext ORDER BY doc_id) AS rn FROM ld) "
+            "WHERE rn = 1), "
+            "evlines AS (SELECT doc_id, "
+            "unnest(string_split(text, ' ')) AS line, "
+            "unnest(generate_series(1, len(string_split(text, ' ')))) "
+            "AS pos FROM documents WHERE doc_id % 10 = 0), "
+            "evfirsts AS (SELECT doc_id, line, min(pos) AS pos "
+            "FROM evlines GROUP BY doc_id, line), "
+            "ev AS (SELECT DISTINCT dtext FROM "
+            "(SELECT doc_id, string_agg(line, ' ' ORDER BY pos) "
+            "AS dtext FROM evfirsts GROUP BY doc_id)), "
+            "dc AS (SELECT * FROM ed WHERE dtext NOT IN "
+            "(SELECT dtext FROM ev)), "
+            "mixcte AS (SELECT doc_id, lang, dtext, "
+            "length(dtext) AS chars, CASE lang WHEN 'de' THEN 2000 "
+            "WHEN 'en' THEN 5000 WHEN 'es' THEN 2000 "
+            "WHEN 'fr' THEN 2000 WHEN 'zh' THEN 2500 END AS budget, "
+            "sum(length(dtext)) OVER (PARTITION BY lang ORDER BY "
+            "md5(dtext || '|' || CAST(doc_id AS VARCHAR)) "
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum "
+            "FROM dc), "
+            "mixed AS (SELECT * FROM mixcte WHERE budget IS NOT NULL "
+            "AND cum - chars < budget) "
+            "SELECT * FROM ("
+            "SELECT CAST(0 AS BIGINT) AS stage, "
+            "CAST(count(*) AS BIGINT) AS n_docs, "
+            "CAST(coalesce(sum(length(text)), 0) AS BIGINT) AS sum_chars "
+            "FROM documents "
+            "UNION ALL SELECT 1, count(*), "
+            "CAST(coalesce(sum(length(text)), 0) AS BIGINT) FROM qual "
+            "UNION ALL SELECT 2, count(*), "
+            "CAST(coalesce(sum(length(dtext)), 0) AS BIGINT) FROM ld "
+            "UNION ALL SELECT 3, count(*), "
+            "CAST(coalesce(sum(length(dtext)), 0) AS BIGINT) FROM ed "
+            "UNION ALL SELECT 4, count(*), "
+            "CAST(coalesce(sum(length(dtext)), 0) AS BIGINT) FROM dc "
+            "UNION ALL SELECT 5, count(*), "
+            "CAST(coalesce(sum(length(dtext)), 0) AS BIGINT) FROM mixed"
+            ") ORDER BY stage"),
         "dedup_components": (
             "WITH RECURSIVE p AS (SELECT d1.doc_id AS a, d2.doc_id AS b "
             "FROM documents d1 JOIN documents d2 "
