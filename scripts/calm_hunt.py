@@ -107,6 +107,10 @@ def main() -> int:
     ap.add_argument("--out", default="/tmp/certified_pair.json")
     ap.add_argument("--target", type=float, default=0.8)
     ap.add_argument("--calm-need-s", type=float, default=120.0)
+    ap.add_argument("--steal-max", type=float, default=1.0,
+                    help="max cpu-s of steal per 10 s window to count "
+                    "it calm; the pair certification itself stays "
+                    "strict regardless")
     ap.add_argument("--n-keys", default="40000000")
     args = ap.parse_args()
 
@@ -121,8 +125,8 @@ def main() -> int:
     log(f"hunt started, deadline in {args.hours}h, target "
         f">={args.target}, n_keys={args.n_keys}")
     while time.time() < deadline:
-        wait_calm(10.0, args.calm_need_s, steal_max=1.0, busy_max=4.0,
-                  log=log)
+        wait_calm(10.0, args.calm_need_s, steal_max=args.steal_max,
+                  busy_max=4.0, log=log)
         attempt += 1
         log(f"attempt {attempt}: calm window reached, firing pair")
         open(PAIRLOCK, "w").close()
