@@ -806,6 +806,10 @@ def q_corpus_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lang", "_chars", _FUNNEL_LANG_BUDGET, order_col=order)
     stages.append((5, mixed, "dtext"))
 
+    # cache each intermediate once: the six stage aggregates otherwise
+    # re-execute every upstream stage per row (O(stages^2) work)
+    for _, df, _tc in stages[1:]:
+        df.cache()
     rows = [
         df.agg(F.count("*").cast("long").alias("n_docs"),
                F.coalesce(F.sum(F.length(tc)), F.lit(0)).cast("long")
@@ -918,9 +922,9 @@ def q_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher repetition filters (Rae et al. 2021 §A1.1), integer
     pieces per document: duplicate-line counts/chars (words stand in
     for lines on this single-line corpus, as in line_dedup) plus the
-    most-frequent word-2-gram's count and length.  One O(distinct
-    bigrams) shuffle with map-side combine; everything else is
-    per-row JVM codegen."""
+    most-frequent word-2-gram's count and length (distinct-bigram
+    shuffle with map-side combine, per-doc max(struct) argmax, id-spine
+    join for zero-gram docs; the line signals are per-row codegen)."""
     from fastfilter_spark.functions.text import (
         repetition_signal_columns, top_bigram_stats,
     )
@@ -1473,7 +1477,7 @@ def oracle_sql() -> dict[str, str]:
             "'\\b(?:\\d{1,3}\\.){3}\\d{1,3}\\b', '<IP>', 'g') AS t2 "
             "FROM m1) "
             "SELECT doc_id, "
-            "regexp_replace(t2, '\\+?\\d[\\d()\\- ]{7,}\\d', '<PHONE>', "
+            "regexp_replace(t2, '\\+\\d[\\d()\\- ]{7,}\\d|\\(\\d{1,4}\\)[\\- ]?\\d[\\d\\- ]{4,}\\d|\\d{2,4}(?:-\\d{2,4}){2,}|\\b\\d{9,14}\\b', '<PHONE>', "
             "'g') AS redacted, "
             "CAST(len(regexp_extract_all(t, "
             "'[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS BIGINT) "
@@ -1481,7 +1485,7 @@ def oracle_sql() -> dict[str, str]:
             "CAST(len(regexp_extract_all(t1, "
             "'\\b(?:\\d{1,3}\\.){3}\\d{1,3}\\b')) AS BIGINT) AS n_ipv4, "
             "CAST(len(regexp_extract_all(t2, "
-            "'\\+?\\d[\\d()\\- ]{7,}\\d')) AS BIGINT) AS n_phone "
+            "'\\+\\d[\\d()\\- ]{7,}\\d|\\(\\d{1,4}\\)[\\- ]?\\d[\\d\\- ]{4,}\\d|\\d{2,4}(?:-\\d{2,4}){2,}|\\b\\d{9,14}\\b')) AS BIGINT) AS n_phone "
             "FROM m2 ORDER BY doc_id"),
         "webpages_invariant": (
             "SELECT CAST(2000 AS BIGINT) AS n_pages, "

@@ -326,18 +326,20 @@ def top_bigram_stats(df, text_col: str = "text",
     Returns ``(id_col, n_bigrams, top_bigram_count, top_bigram_len)``
     with one row per input document; documents with < 2 tokens get
     zeros.  The top gram is tie-broken deterministically (highest
-    count, then lexicographically-last gram) so Spark and a SQL oracle
-    agree row-for-row.
+    count, then lexicographically-last gram — ``max(struct(cnt,
+    gram))`` orders exactly that way) so Spark and a SQL oracle agree
+    row-for-row.
 
-    Plan shape at corpus scale: bigrams are exploded and hash-
-    aggregated on (doc, gram) — one shuffle of O(distinct bigrams),
-    with map-side combine absorbing within-partition repeats (exactly
-    the repeats this filter hunts, so the exchange shrinks on the
-    worst documents); the per-doc argmax window then runs over distinct
-    grams only.  No per-row Python anywhere.
+    Plan shape at corpus scale, three wide steps (stated honestly):
+    (1) exploded bigrams hash-aggregate on (doc, gram) — the exchange
+    carries distinct bigrams only, map-side combine absorbing exactly
+    the repeats this filter hunts, so the worst documents shrink the
+    most; (2) the per-doc argmax is a second hash aggregate keyed by
+    doc (``max(struct)``, partially aggregated map-side — cheaper than
+    a window, which would add a sort); (3) the zero-gram left join
+    back to the id spine exchanges (id, n_bigrams) pairs — 16-byte
+    rows, skew-free on the unique id.  No per-row Python anywhere.
     """
-    from pyspark.sql import Window
-
     toks = word_tokens(F.col(text_col))
     grams = F.when(
         F.size(toks) >= 2,
@@ -350,12 +352,12 @@ def top_bigram_stats(df, text_col: str = "text",
     base = df.select(F.col(id_col), grams.alias("_grams"))
     counted = (base.select(id_col, F.explode("_grams").alias("gram"))
                .groupBy(id_col, "gram").agg(F.count("*").alias("cnt")))
-    w = Window.partitionBy(id_col).orderBy(F.col("cnt").desc(),
-                                           F.col("gram").desc())
-    top = (counted.withColumn("_rn", F.row_number().over(w))
-           .where(F.col("_rn") == 1)
-           .select(id_col, F.col("cnt").alias("top_bigram_count"),
-                   F.length("gram").cast("long").alias("top_bigram_len")))
+    top = (counted.groupBy(id_col)
+           .agg(F.max(F.struct("cnt", "gram")).alias("_top"))
+           .select(id_col,
+                   F.col("_top.cnt").alias("top_bigram_count"),
+                   F.length("_top.gram").cast("long")
+                   .alias("top_bigram_len")))
     totals = base.select(id_col,
                          F.size("_grams").cast("long").alias("n_bigrams"))
     return (totals.join(top, id_col, "left")
@@ -375,7 +377,19 @@ PII_PATTERNS: list[tuple[str, str, str]] = [
     ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
      "<EMAIL>"),
     ("ipv4", r"\b(?:\d{1,3}\.){3}\d{1,3}\b", "<IP>"),
-    ("phone", r"\+?\d[\d()\- ]{7,}\d", "<PHONE>"),
+    # phone spans must carry a phone-shaped MARKER — a leading '+', a
+    # parenthesized prefix, >=2 dash separators, or a 9-14 digit bare
+    # run.  A naive "digits/spaces, length >= 9" class would redact
+    # ordinary numeric prose ("revenue was 2021 2022 2023", table
+    # rows) as <PHONE>, corrupting clean training text; plain
+    # space-separated digit groups with no marker are left alone (the
+    # documented recall trade of pattern-based scrubbing).
+    ("phone",
+     r"\+\d[\d()\- ]{7,}\d"
+     r"|\(\d{1,4}\)[\- ]?\d[\d\- ]{4,}\d"
+     r"|\d{2,4}(?:-\d{2,4}){2,}"
+     r"|\b\d{9,14}\b",
+     "<PHONE>"),
 ]
 
 
@@ -433,6 +447,10 @@ def token_budget_mix(df, source_col: str, token_col: str,
     """
     from pyspark.sql import Window
 
+    if "_cum" in df.columns:
+        # withColumn below would silently replace and then drop it
+        raise ValueError("column '_cum' is used internally by "
+                         "token_budget_mix; rename it first")
     order = order_col if order_col is not None else F.md5(
         F.to_json(F.struct(*[F.col(c) for c in df.columns])))
     # explicit ROWS frame + unique tiebreak: RANGE (the default frame)
@@ -491,7 +509,8 @@ def token_budget_mix_twophase(df, source_col: str, token_col: str,
     order = order_col if order_col is not None else F.md5(
         F.to_json(F.struct(*[F.col(c) for c in df.columns])))
     bmap = F.create_map(*[F.lit(x) for kv in budgets.items() for x in kv])
-    for helper in ("_tbm_ord", "_tbm_bkt", "_tbm_off", "_tbm_sum"):
+    for helper in ("_tbm_ord", "_tbm_bkt", "_tbm_off", "_tbm_sum",
+                   "_tbm_cum"):
         if helper in df.columns:
             raise ValueError(f"column {helper!r} is used internally; "
                              "rename it first")

@@ -59,7 +59,9 @@ class StreamingFilterProbe:
         self.mode = mode
         self.refresh_every = refresh_every
         self._sf = None
+        self._udf = None
         self._loaded_seq = -1
+        self._last_batch_id = None
 
     # -- snapshot management ------------------------------------------------
 
@@ -78,17 +80,35 @@ class StreamingFilterProbe:
         if self._sf is not None and seq == self._loaded_seq:
             return
         if seq == 1:
-            # empty/missing log: no batch processed yet — the tracked
-            # set is empty — valid, probe everything as non-member
-            self._sf = None
-            self._loaded_seq = 1
+            # empty/missing log.  BEFORE anything was loaded that means
+            # "no batch processed yet": the tracked set is empty.  But
+            # once a snapshot exists, an apparently-empty log is a
+            # compact() mid-swap (the live dir is renamed away between
+            # compact's two renames) — keys are only ever ADDED in this
+            # design, so the tracked set cannot have genuinely shrunk
+            # to nothing: keep serving the current snapshot.
+            if self._sf is None:
+                self._loaded_seq = 1
             return
         self._sf = self.maintainer.current_filter(spark)
+        # build the probe UDF ONCE per snapshot: contains_udf()
+        # broadcasts the shard payloads, so constructing it per batch
+        # would re-broadcast an unchanged filter every micro-batch and
+        # accumulate live broadcast objects on the driver
+        self._udf = self._sf.contains_udf(spark)
         self._loaded_seq = seq
 
     # -- streaming hooks ------------------------------------------------------
 
     def process_batch(self, batch_df: DataFrame, batch_id: int) -> None:
+        # foreachBatch is at-least-once: a crash between the sink write
+        # and the checkpoint commit redelivers the same batch_id to the
+        # SAME long-lived instance — skip the duplicate append (the
+        # same guard StreamingSketchAggregator uses).  Redelivery into
+        # a FRESH process re-appends; dedupe the sink downstream or
+        # point it at a transactional table format for exactly-once.
+        if batch_id == self._last_batch_id:
+            return
         spark = batch_df.sparkSession
         if self._loaded_seq < 0 or batch_id % self.refresh_every == 0:
             self._refresh(spark)
@@ -97,10 +117,11 @@ class StreamingFilterProbe:
             out = batch_df if self.mode == "drop_members" \
                 else batch_df.limit(0)
         else:
-            is_member = self._sf.contains_udf(spark)(F.col(self.probe_col))
+            is_member = self._udf(F.col(self.probe_col))
             out = batch_df.where(~is_member if self.mode == "drop_members"
                                  else is_member)
         out.write.mode("append").parquet(self.out_dir)
+        self._last_batch_id = batch_id
 
     def attach(self, stream_df: DataFrame, checkpoint: str):
         """writeStream wiring: returns the started StreamingQuery."""

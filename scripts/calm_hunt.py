@@ -58,10 +58,15 @@ def _stat() -> tuple[float, float]:
 
 
 def wait_calm(window_s: float, need_s: float, steal_max: float,
-              busy_max: float, log) -> None:
-    """Block until `need_s` seconds of consecutive clean windows."""
+              busy_max: float, log, deadline: float) -> bool:
+    """Block until `need_s` seconds of consecutive clean windows, or
+    the hunt deadline passes (False) — without this, a sustained storm
+    or a forgotten worklock would make the --hours bound meaningless
+    (the deadline was previously only checked between attempts)."""
     clean = 0.0
     while clean < need_s:
+        if time.time() >= deadline:
+            return False
         if os.path.exists(WORKLOCK):
             clean = 0.0
             time.sleep(window_s)
@@ -78,6 +83,7 @@ def wait_calm(window_s: float, need_s: float, steal_max: float,
                 log(f"calm reset at {clean:.0f}s: steal {s1 - s0:.1f} "
                     f"busy {b1 - b0:.1f} cpu-s / {window_s:.0f}s")
             clean = 0.0
+    return True
 
 
 def run_level(cpus: int, runs: int, env_extra: dict) -> dict | None:
@@ -125,8 +131,10 @@ def main() -> int:
     log(f"hunt started, deadline in {args.hours}h, target "
         f">={args.target}, n_keys={args.n_keys}")
     while time.time() < deadline:
-        wait_calm(10.0, args.calm_need_s, steal_max=args.steal_max,
-                  busy_max=4.0, log=log)
+        if not wait_calm(10.0, args.calm_need_s,
+                         steal_max=args.steal_max, busy_max=4.0,
+                         log=log, deadline=deadline):
+            break
         attempt += 1
         log(f"attempt {attempt}: calm window reached, firing pair")
         open(PAIRLOCK, "w").close()

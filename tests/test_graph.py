@@ -58,7 +58,6 @@ def test_keep_cluster_representative(spark):
 def test_empty_pairs_keep_everything(spark):
     docs = spark.createDataFrame([(i, "x") for i in range(5)],
                                  "doc_id long, text string")
-    pairs = _pairs(spark, []) if False else \
-        spark.createDataFrame([], "a long, b long")
+    pairs = spark.createDataFrame([], "a long, b long")
     kept = keep_cluster_representative(docs, pairs, "doc_id", "a", "b")
     assert kept.count() == 5

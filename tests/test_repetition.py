@@ -270,3 +270,18 @@ def test_token_budget_mix_twophase_plan(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "SortMergeJoin" not in plan
     assert "BroadcastHashJoin" in plan
+
+
+def test_pii_phone_precision_numeric_prose_untouched(spark):
+    """Digit runs with spaces but no phone marker (no +, parens, or
+    double dash, not a 9+ digit bare run) must NOT be redacted."""
+    rows = _redact(spark, [
+        "revenue was 2021 2022 2023 respectively",
+        "table row 10 20 30 40 50 total",
+        "(555) 010-0199 and 555-010-0199 and 5551234567",
+    ])
+    assert rows[0]["r"] == "revenue was 2021 2022 2023 respectively"
+    assert rows[0]["n_phone"] == 0
+    assert rows[1]["r"] == "table row 10 20 30 40 50 total"
+    assert rows[2]["r"] == "<PHONE> and <PHONE> and <PHONE>"
+    assert rows[2]["n_phone"] == 3
