@@ -354,6 +354,21 @@ class ShardedFilter:
 
         return contains
 
+    def register_sql_udf(self, spark: SparkSession,
+                         name: str = "ff_contains"):
+        """Expose the probe to pure-SQL users:
+        ``spark.sql("SELECT * FROM t WHERE ff_contains(key)")``.
+
+        Same broadcast + worker-cache path as :meth:`contains_udf`
+        (registration wraps that exact UDF, so SQL and DataFrame
+        probes share the deserialized-filter cache).  Re-registering
+        under the same name replaces the previous filter — the SQL
+        twin of rebinding a variable.  Returns the registered name so
+        callers can thread it into query strings.
+        """
+        spark.udf.register(name, self.contains_udf(spark))
+        return name
+
     def filter_members(self, df: DataFrame, key_col: str,
                        spark: SparkSession | None = None,
                        negate: bool = False) -> DataFrame:
