@@ -806,22 +806,26 @@ def q_corpus_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lang", "_chars", _FUNNEL_LANG_BUDGET, order_col=order)
     stages.append((5, mixed, "dtext"))
 
-    # cache each intermediate once: the six stage aggregates otherwise
-    # re-execute every upstream stage per row (O(stages^2) work)
+    # cache each intermediate once (the six stage aggregates otherwise
+    # re-execute every upstream stage per row, O(stages^2) work), pull
+    # the six tiny (count, chars) rows eagerly, then RELEASE the
+    # caches — the caller holds only a literal result, not pinned
+    # intermediate corpora
     for _, df, _tc in stages[1:]:
         df.cache()
-    rows = [
-        df.agg(F.count("*").cast("long").alias("n_docs"),
-               F.coalesce(F.sum(F.length(tc)), F.lit(0)).cast("long")
-               .alias("sum_chars"))
-        .select(F.lit(s).cast("long").alias("stage"), "n_docs",
-                "sum_chars")
-        for s, df, tc in stages
-    ]
-    out = rows[0]
-    for r in rows[1:]:
-        out = out.unionByName(r)
-    return out.orderBy("stage")
+    try:
+        vals = [
+            (s, *df.agg(
+                F.count("*").cast("long"),
+                F.coalesce(F.sum(F.length(tc)), F.lit(0)).cast("long"))
+             .first())
+            for s, df, tc in stages
+        ]
+    finally:
+        for _, df, _tc in stages[1:]:
+            df.unpersist()
+    return spark.createDataFrame(
+        vals, "stage long, n_docs long, sum_chars long").orderBy("stage")
 
 
 def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
