@@ -86,18 +86,24 @@ def connected_components(pairs: DataFrame, a_col: str, b_col: str,
 
 def keep_cluster_representative(df: DataFrame, pairs: DataFrame,
                                 id_col: str, a_col: str, b_col: str,
-                                invert: bool = False) -> DataFrame:
+                                invert: bool = False,
+                                broadcast_losers: bool = True) -> DataFrame:
     """Drop every clustered document except its component's canonical
     (minimum-id) representative; rows in no pair are all kept
     (singletons are their own representative).  ``invert=True``
     returns the dropped duplicates instead.
 
-    The component table covers only paired docs (small next to the
-    corpus), so the final join broadcasts the drop-list against the
-    full table — the corpus itself never shuffles.
+    With ``broadcast_losers`` (default) the drop-list is broadcast
+    against the full table and the corpus never shuffles — right
+    whenever the duplicate fraction is broadcast-sized.  At extreme
+    dup rates (a drop-list of 10^11 ids is NOT broadcastable) pass
+    ``False`` for a plain shuffled anti join: one id-keyed exchange of
+    8-byte keys, still no payload movement.
     """
     comps = connected_components(pairs, a_col, b_col)
     losers = comps.where(F.col("node") != F.col("comp")) \
         .select(F.col("node").alias(id_col))
     how = "left_semi" if invert else "left_anti"
-    return df.join(F.broadcast(losers), id_col, how)
+    if broadcast_losers:
+        losers = F.broadcast(losers)
+    return df.join(losers, id_col, how)
