@@ -139,7 +139,7 @@ def main() -> int:
         log(f"attempt {attempt}: calm window reached, firing pair")
         open(PAIRLOCK, "w").close()
         try:
-            l2 = run_level(2, runs=4, env_extra=env_extra)
+            l2 = run_level(2, runs=6, env_extra=env_extra)
             if not l2:
                 log("level 2 produced no output; retrying later")
                 continue
