@@ -149,8 +149,9 @@ def main() -> int:
                 log(f"level 2 contaminated (best {l2['build_s']}s, "
                     f"steal {l2['steal_cpu_s_during_best_build']}, "
                     f"ext {l2.get('external_busy_cpu_s_during_best_build')}, "
-                    f"lost {l2.get('lost_cpu_s_during_best_build')}); "
-                    "skipping level 8")
+                    f"lost {l2.get('lost_cpu_s_during_best_build')}, "
+                    f"spin {l2.get('spin_mops_during_best_build')} "
+                    f"vs max {spin_max}); skipping level 8")
                 continue
             l8 = run_level(8, runs=8, env_extra=env_extra)
             if not l8:
