@@ -309,6 +309,24 @@ def q_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("p_brand"))
 
 
+def q_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessions (30-min silence starts a new one) over the
+    event stream: per-user event and session counts plus the size of
+    the largest session.  One window shuffle on the entity key; the
+    oracle reproduces the lag/cumsum arithmetic on epoch seconds."""
+    from fastfilter_spark.operators.sessions import sessionize
+    ev = _t(spark, sf_dir, "events")
+    s = sessionize(ev, "user_id", "ts", gap_seconds=1800.0,
+                   tiebreak_col="event_id")
+    per_sess = s.groupBy("user_id", "session_idx") \
+        .agg(F.count("*").alias("_n"))
+    return (per_sess.groupBy("user_id")
+            .agg(F.sum("_n").cast("long").alias("n_events"),
+                 F.count("*").cast("long").alias("n_sessions"),
+                 F.max("_n").cast("long").alias("max_session_events"))
+            .orderBy("user_id"))
+
+
 def q_events_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events")
     return (ev.groupBy("event_type")
@@ -1065,6 +1083,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_decontamination": q_ngram_decontamination,
         "dedup_components": q_dedup_components,
         "corpus_funnel": q_corpus_funnel,
+        "sessionization": q_sessionization,
         "line_dedup": q_line_dedup,
         "boilerplate_removal": q_boilerplate_removal,
         "heavy_hitters": q_heavy_hitters,
@@ -1366,6 +1385,24 @@ def oracle_sql() -> dict[str, str]:
             "FROM sig s JOIN toks t2 USING (doc_id) "
             "LEFT JOIN top ON top.doc_id = s.doc_id AND top.rn = 1 "
             "ORDER BY s.doc_id"),
+        "sessionization": (
+            "WITH o AS (SELECT user_id, epoch_us(ts) AS e, event_id "
+            "FROM events), "
+            "lagd AS (SELECT user_id, e, event_id, "
+            "lag(e) OVER (PARTITION BY user_id "
+            "ORDER BY e, event_id) AS pe FROM o), "
+            "sess AS (SELECT user_id, "
+            "sum(CASE WHEN pe IS NULL OR (e - pe) > 1800000000 "
+            "THEN 1 ELSE 0 END) OVER (PARTITION BY user_id "
+            "ORDER BY e, event_id "
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) "
+            "AS session_idx FROM lagd), "
+            "per AS (SELECT user_id, session_idx, count(*) AS n "
+            "FROM sess GROUP BY user_id, session_idx) "
+            "SELECT user_id, CAST(sum(n) AS BIGINT) AS n_events, "
+            "CAST(count(*) AS BIGINT) AS n_sessions, "
+            "CAST(max(n) AS BIGINT) AS max_session_events "
+            "FROM per GROUP BY user_id ORDER BY user_id"),
         "corpus_funnel": (
             "WITH tok AS (SELECT doc_id, text, lang, list_filter("
             "string_split_regex(lower(text), '[^a-z]+'), x -> x <> '') "

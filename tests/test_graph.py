@@ -61,3 +61,36 @@ def test_empty_pairs_keep_everything(spark):
     pairs = spark.createDataFrame([], "a long, b long")
     kept = keep_cluster_representative(docs, pairs, "doc_id", "a", "b")
     assert kept.count() == 5
+
+
+# ---------------------------------------------------------------------------
+# sessionization
+# ---------------------------------------------------------------------------
+
+def test_sessionize_hand_computed(spark):
+    from fastfilter_spark.operators.sessions import sessionize
+    rows = [
+        # user 1: events at t=0, 100, 2000 (gap>1800 -> new), 2100
+        (1, 0.0, 10), (1, 100.0, 11), (1, 2000.0, 12), (1, 2100.0, 13),
+        # user 2: single event
+        (2, 50.0, 20),
+        # user 3: exactly gap apart stays SAME session (strict >)
+        (3, 0.0, 30), (3, 1800.0, 31), (3, 3601.0, 32),
+    ]
+    df = spark.createDataFrame(
+        [(u, float(t), e) for u, t, e in rows],
+        "user_id long, ts double, event_id long")
+    out = sessionize(df, "user_id", "ts", gap_seconds=1800.0,
+                     tiebreak_col="event_id")
+    got = {r.event_id: r.session_idx for r in out.collect()}
+    assert got == {10: 1, 11: 1, 12: 2, 13: 2, 20: 1,
+                   30: 1, 31: 1, 32: 2}
+
+
+def test_sessionize_rejects_column_collision(spark):
+    from fastfilter_spark.operators.sessions import sessionize
+    df = spark.createDataFrame([(1, 0.0, 1)],
+                               "user_id long, ts double, session_idx long")
+    import pytest as _pt
+    with _pt.raises(ValueError, match="session_idx"):
+        sessionize(df, "user_id", "ts")
