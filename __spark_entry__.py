@@ -789,7 +789,8 @@ def q_corpus_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     from fastfilter_spark.functions.text import (
-        dedup_lines, distinct_token_ratio_columns, token_budget_mix,
+        dedup_lines, distinct_token_ratio_columns, doc_fingerprint,
+        token_budget_mix,
     )
     from fastfilter_spark.operators.dedup import decontaminate
 
@@ -807,7 +808,12 @@ def q_corpus_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     ld = qual.withColumn("dtext", dedup_lines(F.col("text"), sep=" "))
     stages.append((2, ld, "dtext"))
 
-    w = Window.partitionBy("dtext").orderBy("doc_id")
+    # exact dedup shuffles the 16-byte md5 fingerprint, never the full
+    # text, as the window key (at 100x scale a raw-text shuffle key pays
+    # full-document hash+sort-compare cost); min-doc_id representative
+    # per content group is unchanged
+    w = Window.partitionBy(doc_fingerprint(F.col("dtext"))) \
+        .orderBy("doc_id")
     ed = (ld.withColumn("_rn", F.row_number().over(w))
           .where(F.col("_rn") == 1).drop("_rn"))
     stages.append((3, ed, "dtext"))
@@ -1422,7 +1428,7 @@ def oracle_sql() -> dict[str, str]:
             "GROUP BY f.doc_id, q.lang), "
             "ed AS (SELECT doc_id, lang, dtext FROM "
             "(SELECT doc_id, lang, dtext, row_number() OVER "
-            "(PARTITION BY dtext ORDER BY doc_id) AS rn FROM ld) "
+            "(PARTITION BY md5(dtext) ORDER BY doc_id) AS rn FROM ld) "
             "WHERE rn = 1), "
             "evlines AS (SELECT doc_id, "
             "unnest(string_split(text, ' ')) AS line, "

@@ -455,7 +455,13 @@ def embedding_near_dup(df: DataFrame, id_col: str = "vec_id",
                         "table": np.int32(t), "bucket": bucket})
         return fn
 
-    dim = len(df.select(vec_col).first()[0])
+    first_vec = df.select(vec_col).first()
+    if first_vec is None or first_vec[0] is None:
+        # empty input (or all-null vectors): no pairs, and no dimension
+        # to size the hyperplanes from
+        return df.sparkSession.createDataFrame(
+            [], schema="id_a long, id_b long, cosine double")
+    dim = len(first_vec[0])
     bucketed = df.select(id_col, vec_col).mapInPandas(
         bucket_fn(dim),
         schema=f"{id_col} long, {vec_col} array<float>, "
@@ -572,7 +578,8 @@ def decontaminate(train: DataFrame, eval_df: DataFrame,
 def remove_boilerplate_lines(docs: DataFrame, min_docs: int,
                              id_col: str = "doc_id",
                              text_col: str = "text",
-                             sep: str = "\n") -> DataFrame:
+                             sep: str = "\n",
+                             broadcast_boiler: bool = True) -> DataFrame:
     """Strip lines that occur in >= ``min_docs`` DISTINCT documents
     (navigation bars, cookie banners, footers — the CCNet/RefinedWeb
     boilerplate pass), preserving each surviving line's original
@@ -584,16 +591,28 @@ def remove_boilerplate_lines(docs: DataFrame, min_docs: int,
       plans this as a two-phase distinct aggregate, so duplicate
       (line, doc) pairs collapse map-side; the exchange carries one row
       per distinct (line, doc), bounded by corpus line count.
-    - the boilerplate set is SMALL by construction (only lines repeated
-      across >= min_docs pages qualify — navigation chrome, not
-      content), so it broadcasts, and the removal is a map-side
+    - the boilerplate set is usually SMALL (only lines repeated across
+      >= min_docs pages qualify — navigation chrome, not content), so
+      by default it broadcasts and the removal is a map-side
       BroadcastHashJoin(LeftAnti) over the exploded lines: the corpus
-      itself never shuffles for the membership decision.
+      itself never shuffles for the membership decision.  That holds
+      only when ``min_docs`` is genuinely selective: a small
+      ``min_docs`` on a line-heavy corpus makes the set corpus-scale
+      and the forced hint would blow the broadcast limit — pass
+      ``broadcast_boiler=False`` there to let AQE pick the join
+      strategy (it still broadcasts when the built set turns out
+      small).  ``min_docs`` must be >= 2 (at 1 every line is
+      "boilerplate" and the output is all-empty documents).
     - reassembly groups the kept lines by document (one shuffle of the
       corpus — inherent to any reorder-preserving rewrite) and rebuilds
       text with array_sort over (pos, line) structs, all JVM built-ins.
     """
     import re as _re
+    if int(min_docs) < 2:
+        raise ValueError(
+            f"min_docs={min_docs}: every line occurs in >=1 document, "
+            "so min_docs < 2 strips all content; use >= 2 (and sizes "
+            "large enough that the boilerplate set stays selective)")
     lines = docs.select(
         F.col(id_col),
         F.posexplode(F.split(F.col(text_col), _re.escape(sep)))
@@ -602,7 +621,9 @@ def remove_boilerplate_lines(docs: DataFrame, min_docs: int,
               .agg(F.count_distinct(id_col).alias("_ndocs"))
               .where(F.col("_ndocs") >= int(min_docs))
               .select("line"))
-    kept = lines.join(F.broadcast(boiler), "line", "left_anti")
+    if broadcast_boiler:
+        boiler = F.broadcast(boiler)
+    kept = lines.join(boiler, "line", "left_anti")
     rebuilt = kept.groupBy(id_col).agg(
         F.array_join(
             F.transform(
@@ -635,9 +656,14 @@ def ngram_decontaminate(train: DataFrame, eval_df: DataFrame,
        and the vectorized probe discards ~every gram before anything
        wide happens (no false negatives: a contaminated gram cannot
        slip past);
-    3. probe survivors (true matches + 2^-8 fp) hit an exact broadcast
-       LEFT SEMI join on the gram STRING, so hash collisions cannot
-       condemn a clean document;
+    3. probe survivors (true matches + 2^-8 fp) hit an exact LEFT SEMI
+       join on the gram STRING, so hash collisions cannot condemn a
+       clean document.  The gram table is broadcast only when
+       ``shard_bits == 0`` (the caller asserted a broadcast-sized eval
+       set); with ``shard_bits > 0`` — raised precisely because the
+       eval set is huge — |eval| x tokens gram STRINGS can be multi-GB,
+       so the verify falls back to a shuffled semi join over the
+       already-tiny probe survivors;
     4. the distinct contaminated id set (tiny in practice) drives the
        final broadcast anti/semi join against train.
 
@@ -661,7 +687,8 @@ def ngram_decontaminate(train: DataFrame, eval_df: DataFrame,
                       F.explode(token_ngrams(F.col(text_col), n))
                       .alias("gram"))
     maybe = tg.where(sf.contains_udf(spark)(F.xxhash64("gram")))
-    contaminated = (maybe.join(F.broadcast(ev_grams), "gram", "left_semi")
+    verify_side = F.broadcast(ev_grams) if shard_bits == 0 else ev_grams
+    contaminated = (maybe.join(verify_side, "gram", "left_semi")
                     .select(id_col).distinct())
     how = "left_semi" if invert else "left_anti"
     return train.join(F.broadcast(contaminated), id_col, how)

@@ -732,10 +732,16 @@ def probe_via_join(probes: DataFrame, key_col: str,
     columns) — join back on key for row-level filtering.
     """
     if num_shards is None:
-        # NB: when filter_table is an unmaterialized build plan, this
-        # lookup EXECUTES it once just to read one number and the
-        # cogroup below executes it again — pass num_shards explicitly
-        # (or persist the table) to avoid the double build
+        # when filter_table is an unmaterialized build plan, reading
+        # num_shards would EXECUTE it once just for one number and the
+        # cogroup below would execute it again — a full double build.
+        # Auto-persist before the lookup so the cogroup reuses the
+        # materialized shards; the caller may unpersist after the probe
+        # (passing num_shards explicitly skips both the job and the
+        # pin).
+        from pyspark import StorageLevel
+        if filter_table.storageLevel == StorageLevel.NONE:
+            filter_table = filter_table.persist()
         num_shards = filter_table.select(F.first("num_shards")).first()[0]
     shard_bits = int(math.log2(num_shards))
     keyed = keys_with_shard(probes, key_col, shard_bits)

@@ -36,47 +36,84 @@ __all__ = ["connected_components", "keep_cluster_representative"]
 
 def connected_components(pairs: DataFrame, a_col: str, b_col: str,
                          max_iter: int = 25,
-                         checkpoint_every: int = 4) -> DataFrame:
+                         checkpoint_every: int = 4,
+                         checkpoint_dir: str | None = None) -> DataFrame:
     """(node, comp) for every node appearing in ``pairs``; ``comp`` is
     the component's MINIMUM node id (deterministic canonical label).
+
+    Lineage cuts: ``localCheckpoint`` by default (fast, blocks live on
+    executors) — at cluster scale an executor loss after a local cut
+    makes the iteration unrecoverable (the recompute path is severed),
+    so long jobs should pass ``checkpoint_dir`` (an HDFS/S3/posix path)
+    to get RELIABLE ``checkpoint()`` cuts that survive executor loss.
+
+    Per-round cost: ONE action.  The previous label rides along as
+    ``old_comp`` so convergence is a cheap filtered count over the
+    already-materialized round result — no second labels join — and
+    both the neighbor-min result (read twice by the pointer-jump
+    self-reference) and the round result are persisted, so between
+    lineage cuts each round's DAG is evaluated exactly once.
     """
+    spark = pairs.sparkSession
+    if checkpoint_dir is not None:
+        spark.sparkContext.setCheckpointDir(checkpoint_dir)
+
+    def _cut(df: DataFrame) -> DataFrame:
+        if checkpoint_dir is not None:
+            return df.checkpoint(eager=True)
+        return df.localCheckpoint(eager=True)
+
     edges = pairs.select(F.col(a_col).cast("long").alias("x"),
                          F.col(b_col).cast("long").alias("y"))
     edges = edges.where(F.col("x").isNotNull() & F.col("y").isNotNull())
     edges = (edges.union(edges.select(F.col("y").alias("x"),
                                       F.col("x").alias("y")))
              .distinct())
-    edges = edges.localCheckpoint(eager=True)
+    edges = _cut(edges)
 
     labels = (edges.select(F.col("x").alias("node")).distinct()
               .withColumn("comp", F.col("node")))
 
+    prev_cached: DataFrame | None = None
     for it in range(max_iter):
-        # 1. neighbor-min: the smallest label any neighbor carries
+        # 1. neighbor-min: the smallest label any neighbor carries.
+        # Persisted because the pointer-jump below references it on
+        # BOTH join sides — without the persist Spark evaluates the
+        # whole round plan twice.
         nbr = (edges.join(labels.select(F.col("node").alias("y"),
                                         F.col("comp").alias("ncomp")),
                           "y")
                .groupBy("x").agg(F.min("ncomp").alias("nbr_comp")))
-        new = (labels.join(nbr.select(F.col("x").alias("node"),
-                                      "nbr_comp"), "node", "left")
-               .select("node",
-                       F.least("comp", F.coalesce("nbr_comp", "comp"))
-                       .alias("comp")))
+        prop = (labels.join(nbr.select(F.col("x").alias("node"),
+                                       "nbr_comp"), "node", "left")
+                .select("node", F.col("comp").alias("old_comp"),
+                        F.least("comp", F.coalesce("nbr_comp", "comp"))
+                        .alias("comp"))
+                .persist())
         # 2. pointer-jump: comp := label[comp]  (O(log D) convergence)
-        jump = new.select(F.col("node").alias("comp"),
-                          F.col("comp").alias("jcomp"))
-        new = (new.join(jump, "comp", "left")
-               .select("node",
+        jump = prop.select(F.col("node").alias("comp"),
+                           F.col("comp").alias("jcomp"))
+        new = (prop.join(jump, "comp", "left")
+               .select("node", "old_comp",
                        F.least("comp", F.coalesce("jcomp", "comp"))
                        .alias("comp")))
-        if (it + 1) % checkpoint_every == 0:
-            new = new.localCheckpoint(eager=True)
-        changed = (new.alias("n")
-                   .join(labels.alias("o"), "node")
-                   .where(F.col("n.comp") != F.col("o.comp")).count())
-        labels = new
+        cut_this_round = (it + 1) % checkpoint_every == 0
+        if cut_this_round:
+            new = _cut(new)
+        else:
+            new = new.persist()
+        # single action per round: materializes `new` AND derives the
+        # convergence signal from the carried old label
+        changed = new.where(F.col("comp") != F.col("old_comp")).count()
+        prop.unpersist()
+        if prev_cached is not None:
+            prev_cached.unpersist()
+        # a checkpointed frame must NOT be unpersisted (its lineage is
+        # truncated; dropping the blocks would orphan it)
+        prev_cached = None if cut_this_round else new
+        labels = new.select("node", "comp")
         if changed == 0:
-            return labels.localCheckpoint(eager=True)
+            return labels
     raise RuntimeError(
         f"connected_components did not converge in {max_iter} rounds "
         "(graph diameter too large for the shortcutted propagation "

@@ -6,17 +6,20 @@ prunable).  Decode / feature-extraction runs as Arrow-batched
 ``mapInPandas`` so each task streams record batches instead of
 materializing a partition of blobs.
 
-The actual codecs (PIL/ffmpeg/torchaudio) are NOT in this container, so
-the decode step is stubbed two ways, as the round instructions require:
+The decode step comes in two flavors:
 
 - ``decode = "fake"``  — deterministic synthetic decode (bytes -> stable
   pseudo-pixels/samples via the splitmix64 chain) so the full pipeline
   (schema, batching, partitioning, downstream features) runs and is
-  testable end-to-end;
-- ``decode = "real"``  — raises ``NotImplementedError`` at the decode
-  call site, clearly marking where a real codec plugs in.
+  testable end-to-end with opaque synthetic payloads;
+- ``decode = "real"``  — a REAL stdlib-only codec at the plug point:
+  PNG (zlib inflate + full filter reconstruction, 8-bit gray/RGB/RGBA,
+  non-interlaced) for images and RIFF WAV (stdlib ``wave``, 8/16-bit
+  PCM) for audio.  Formats beyond those (JPEG, MP3, video containers)
+  need external libs not in this container and raise ``ValueError``
+  with the format name — the plug point is the same function.
 
-Everything around the stub — schemas, batch iteration, UDF signatures,
+Everything around the codec — schemas, batch iteration, UDF signatures,
 metadata handling — is real Spark code, identical to what a production
 deployment would run.
 """
@@ -70,6 +73,122 @@ def synthesize_media(spark, n_rows: int, kind: str = "image",
             yield pd.DataFrame(rows)
 
     return spark.range(n_rows).mapInPandas(gen, schema=MEDIA_SCHEMA)
+
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _png_decode_gray(payload: bytes) -> np.ndarray:
+    """Real stdlib-only PNG decode -> (h, w) uint8 grayscale.
+
+    Supports the PNG core profile: 8-bit depth, color types 0 (gray),
+    2 (RGB), 4 (gray+alpha), 6 (RGBA), non-interlaced, all five
+    scanline filters (None/Sub/Up/Average/Paeth).  RGB collapses to
+    luma via integer BT.601 (299R+587G+114B)/1000; alpha is dropped.
+    Anything else (16-bit, palette, Adam7, or a non-PNG payload)
+    raises ValueError naming the problem — this is the ``decode="real"``
+    plug point, so unsupported formats fail loudly, never silently.
+    """
+    import struct
+    import zlib
+
+    if payload[:8] != _PNG_SIG:
+        raise ValueError("decode='real': payload is not a PNG "
+                         f"(signature {payload[:8]!r}); JPEG/other "
+                         "formats need external codecs")
+    pos, idat = 8, []
+    width = height = bit_depth = color_type = interlace = None
+    while pos + 8 <= len(payload):
+        ln, ctype = struct.unpack(">I4s", payload[pos:pos + 8])
+        data = payload[pos + 8:pos + 8 + ln]
+        pos += 12 + ln  # length + type + data + crc
+        if ctype == b"IHDR":
+            (width, height, bit_depth, color_type,
+             _comp, _filt, interlace) = struct.unpack(">IIBBBBB", data)
+        elif ctype == b"IDAT":
+            idat.append(data)
+        elif ctype == b"IEND":
+            break
+    if width is None:
+        raise ValueError("PNG has no IHDR chunk")
+    if bit_depth != 8 or interlace != 0:
+        raise ValueError(f"unsupported PNG: bit_depth={bit_depth}, "
+                         f"interlace={interlace} (8-bit non-interlaced "
+                         "only)")
+    nch = {0: 1, 2: 3, 4: 2, 6: 4}.get(color_type)
+    if nch is None:
+        raise ValueError(f"unsupported PNG color type {color_type} "
+                         "(palette images need a PLTE decoder)")
+    raw = zlib.decompress(b"".join(idat))
+    stride = width * nch
+    if len(raw) != height * (stride + 1):
+        raise ValueError("PNG IDAT size mismatch (corrupt stream)")
+    out = np.empty((height, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.int32)
+    p = 0
+    for y in range(height):
+        f = raw[p]
+        line = np.frombuffer(raw, np.uint8, stride, p + 1).astype(np.int32)
+        p += 1 + stride
+        if f == 0:                       # None
+            cur = line
+        elif f == 2:                     # Up — vectorizes along x
+            cur = (line + prev) & 0xFF
+        elif f in (1, 3, 4):             # Sub/Average/Paeth: left-
+            cur = np.empty(stride, np.int32)   # dependent, sequential x
+            for x in range(stride):
+                a = int(cur[x - nch]) if x >= nch else 0
+                b = int(prev[x])
+                if f == 1:
+                    v = line[x] + a
+                elif f == 3:
+                    v = line[x] + (a + b) // 2
+                else:
+                    c = int(prev[x - nch]) if x >= nch else 0
+                    pp = a + b - c
+                    pa, pb, pc = abs(pp - a), abs(pp - b), abs(pp - c)
+                    pred = a if (pa <= pb and pa <= pc) else \
+                        (b if pb <= pc else c)
+                    v = line[x] + pred
+                cur[x] = v & 0xFF
+        else:
+            raise ValueError(f"unknown PNG filter type {f}")
+        out[y] = cur
+        prev = cur
+    img = out.reshape(height, width, nch)
+    if color_type in (0, 4):             # gray / gray+alpha
+        return np.ascontiguousarray(img[..., 0])
+    rgb = img[..., :3].astype(np.uint32)
+    return ((299 * rgb[..., 0] + 587 * rgb[..., 1] + 114 * rgb[..., 2])
+            // 1000).astype(np.uint8)
+
+
+def _wav_decode(payload: bytes) -> np.ndarray:
+    """Real stdlib-only RIFF WAV decode -> float64 mono samples in
+    [-1, 1).  8-bit unsigned and 16-bit signed PCM; multi-channel
+    averages to mono.  Non-WAV / compressed payloads raise ValueError.
+    """
+    import io
+    import wave
+
+    try:
+        with wave.open(io.BytesIO(payload)) as w:
+            nch, sw = w.getnchannels(), w.getsampwidth()
+            frames = w.readframes(w.getnframes())
+    except (wave.Error, EOFError) as e:
+        raise ValueError(f"decode='real': payload is not PCM WAV ({e}); "
+                         "MP3/OGG/video need external codecs") from e
+    if sw == 2:
+        a = np.frombuffer(frames, dtype="<i2").astype(np.float64) / 32768.0
+    elif sw == 1:
+        a = (np.frombuffer(frames, dtype=np.uint8)
+             .astype(np.float64) - 128.0) / 128.0
+    else:
+        raise ValueError(f"unsupported WAV sample width {sw} (8/16-bit "
+                         "PCM only)")
+    if nch > 1:
+        a = a.reshape(-1, nch).mean(axis=1)
+    return a
 
 
 def _fake_decode_image(payload: bytes, width: int, height: int) -> np.ndarray:
@@ -126,12 +245,15 @@ def image_features(df: DataFrame, decode: str = "fake") -> DataFrame:
             if not len(pdf):
                 continue
             if decode == "real":
-                raise NotImplementedError(
-                    "real image decode requires PIL/opencv (not in this "
-                    "container); plug the codec in here")
-            imgs = [_fake_decode_image(bytes(p), m["width"], m["height"])
-                    for p, m in zip(pdf["payload"].to_numpy(),
-                                    pdf["meta"].to_numpy())]
+                # stdlib PNG decode; dimensions come from the file
+                # itself, the meta struct is advisory
+                imgs = [_png_decode_gray(bytes(p))
+                        for p in pdf["payload"].to_numpy()]
+            else:
+                imgs = [_fake_decode_image(bytes(p), m["width"],
+                                           m["height"])
+                        for p, m in zip(pdf["payload"].to_numpy(),
+                                        pdf["meta"].to_numpy())]
             if len({im.shape for im in imgs}) == 1:
                 M = np.stack(imgs)
                 means = M.mean(axis=(1, 2))
@@ -154,20 +276,21 @@ def audio_frame_sample(df: DataFrame, n_samples: int = 16,
                        decode: str = "fake") -> DataFrame:
     """(media_id, samples array<float>): evenly-spaced sample grab — the
     frame-sampling shape used for audio/video preprocessing."""
+    if decode not in ("fake", "real"):
+        raise ValueError("decode must be 'fake' or 'real'")
 
     def sample(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             if not len(pdf):
                 continue
-            if decode == "real":
-                raise NotImplementedError(
-                    "real audio decode requires ffmpeg/torchaudio; "
-                    "plug the codec in here")
             samples = []
             for payload in pdf["payload"].to_numpy():
                 # decode is per-clip (codec boundary; lengths vary)
-                raw = np.frombuffer(bytes(payload), dtype="<u8")
-                wave = (raw.astype(np.float64) / 2**63 - 1.0)
+                if decode == "real":
+                    wave = _wav_decode(bytes(payload))
+                else:
+                    raw = np.frombuffer(bytes(payload), dtype="<u8")
+                    wave = (raw.astype(np.float64) / 2**63 - 1.0)
                 idx = np.linspace(0, len(wave) - 1, n_samples).astype(int)
                 samples.append(wave[idx].astype(np.float32))
             yield pd.DataFrame({"media_id": pdf["media_id"].to_numpy(),

@@ -48,10 +48,22 @@ def sessionize(df: DataFrame, entity_col: str, ts_col: str,
 
     w = Window.partitionBy(entity_col).orderBy(*order)
     dt = df.schema[ts_col].dataType
-    if isinstance(dt, (TimestampType, TimestampNTZType)):
+    if isinstance(dt, TimestampType):
         # exact integer microseconds: no float rounding at the gap
         # boundary, and a SQL oracle (epoch_us) reproduces it exactly
-        ts = F.unix_micros(F.col(ts_col).cast("timestamp"))
+        ts = F.unix_micros(F.col(ts_col))
+        gap = F.lit(int(round(gap_seconds * 1_000_000)))
+    elif isinstance(dt, TimestampNTZType):
+        # NTZ is wall-clock with NO timezone: casting it to
+        # TimestampType would reinterpret the wall value in the session
+        # timezone, and across a DST transition two events 30 minutes
+        # apart would measure a 90- or -30-minute gap.  timestampdiff
+        # over two NTZ operands is pure wall-clock arithmetic, so the
+        # micros are timezone-independent (any fixed anchor works —
+        # only differences are consumed).
+        ts = F.expr(
+            "timestampdiff(MICROSECOND, "
+            f"TIMESTAMP_NTZ'1970-01-01 00:00:00', `{ts_col}`)")
         gap = F.lit(int(round(gap_seconds * 1_000_000)))
     else:
         ts = F.col(ts_col).cast("double")

@@ -360,11 +360,15 @@ load — single-run numbers are noisy).
 
 Caveats for reading these against the >=0.8 target:
 
-- On one physical host the 8→32 step saturates shared DRAM bandwidth —
-  32 concurrent peel kernels measured ~14M keys/s aggregate vs ~23M for
-  8 (memory-bound hypergraph peeling, ~24 B/key scratch random access).
-  On a real N→4N *cluster* each executor brings its own memory bus, the
-  scenario the rule targets; the in-sandbox substitute under-reports it.
+- The 8→32 step on this single-JVM host is NOT DRAM-capped: the raw
+  peel kernel scales 0.77 from 8 to 32 procs (scripts/dram_ceiling.py
+  measured ~36 GB/s used against a ~209 GB/s memcpy ceiling — BENCH.md
+  "Construction-compute scaling").  The job-level gap at 32 is
+  single-JVM shuffle/Arrow/task-scheduling overhead — exactly the
+  components a real N→4N *cluster* scales out (and the Exchange-free
+  bucketed build removes from the plan entirely); the in-sandbox
+  substitute under-reports that step.  The binding north-rule pair is
+  2→8; see BENCH.md's certified calm table.
 - Reference single-thread baselines (README sample runs, desktop-class
   cache/DRAM): 27.9M keys/s construction, 8.1M probes/s.  The job-level
   numbers above are the end-to-end engine (scan, shuffle, Arrow,

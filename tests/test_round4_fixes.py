@@ -1,0 +1,160 @@
+"""Round-4 verdict/advice fixes.
+
+Covers: reliable checkpointing + single-action rounds in
+connected_components (VERDICT #4/#5, ADVICE graph), timezone-safe
+TimestampNTZ sessionization (ADVICE #1), probe_via_join auto-persist
+(VERDICT #7 'What's wrong'), the conditional broadcasts in
+ngram_decontaminate / remove_boilerplate_lines (ADVICE #2/#3), and the
+embedding_near_dup empty-input guard (ADVICE #5).
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import glob
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from fastfilter_spark.operators.graph import connected_components
+
+
+def _pairs(spark, edges):
+    return spark.createDataFrame(edges, "a long, b long")
+
+
+# -- connected_components -----------------------------------------------------
+
+def test_components_reliable_checkpoint_dir(spark, tmp_path):
+    """checkpoint_dir switches lineage cuts to reliable checkpoint():
+    results identical, and checkpoint files actually land in the dir
+    (executor-loss-safe, unlike localCheckpoint blocks)."""
+    ckpt = str(tmp_path / "cc_ckpt")
+    edges = [(i, i + 1) for i in range(23)] + [(100, 101)]
+    out = connected_components(_pairs(spark, edges), "a", "b",
+                               checkpoint_every=1, checkpoint_dir=ckpt)
+    got = {r.node: r.comp for r in out.collect()}
+    assert set(got[i] for i in range(24)) == {0}
+    assert got[100] == got[101] == 100
+    # reliable checkpoints are files under the dir, not executor blocks
+    assert glob.glob(os.path.join(ckpt, "**", "rdd-*"), recursive=True)
+
+
+def test_components_single_action_per_round(spark):
+    """Convergence is derived from the carried old_comp column — one
+    count per round over the cached round result, no second labels
+    join.  Budget guard: a 6-node graph converging in <=3 rounds must
+    stay within a small absolute Spark-job budget (the pre-fix shape
+    re-executed the full uncheckpointed lineage for the changed-count
+    every round, blowing past this as rounds deepen)."""
+    sc = spark.sparkContext
+    sc.setJobGroup("cc_round4_jobs", "cc job budget")
+    try:
+        out = connected_components(
+            _pairs(spark, [(1, 2), (2, 3), (3, 4), (10, 11)]), "a", "b")
+        assert out.count() == 6
+    finally:
+        sc.setJobGroup("cc_round4_done", "")
+    jobs = sc.statusTracker().getJobIdsForGroup("cc_round4_jobs")
+    # edges cut + <=3 rounds x (1 count [+ AQE stage jobs]) + final
+    # count; 40 is ~2x the observed ceiling, far under the pre-fix
+    # quadratic-recompute shape
+    assert 0 < len(jobs) <= 40, f"job budget blown: {len(jobs)} jobs"
+
+
+# -- sessionize over TimestampNTZ --------------------------------------------
+
+def test_sessionize_ntz_is_timezone_and_dst_independent(spark):
+    """NTZ timestamps are wall-clock: two events 45 wall-minutes apart
+    across the US fall-back DST transition must stay in ONE session
+    with gap=3600 even when the session timezone is DST-observing.
+    (The pre-fix cast-to-TimestampType path measured 105 minutes there
+    — 2026-11-01 01:30 resolves to PDT, 02:15 to PST — and split.)"""
+    from fastfilter_spark.operators.sessions import sessionize
+    rows = [
+        (1, dt.datetime(2026, 11, 1, 1, 30, 0), 1),
+        (1, dt.datetime(2026, 11, 1, 2, 15, 0), 2),
+        # control pair: genuinely > gap apart, must still split
+        (2, dt.datetime(2026, 11, 1, 1, 30, 0), 3),
+        (2, dt.datetime(2026, 11, 1, 3, 45, 0), 4),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, ts timestamp_ntz, event_id long")
+    old_tz = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "America/Los_Angeles")
+    try:
+        out = sessionize(df, "user_id", "ts", gap_seconds=3600.0,
+                         tiebreak_col="event_id")
+        got = {r.event_id: r.session_idx for r in out.collect()}
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", old_tz)
+    assert got == {1: 1, 2: 1, 3: 1, 4: 2}
+
+
+# -- probe_via_join auto-persist ----------------------------------------------
+
+def test_probe_via_join_autopersists_unmaterialized_table(spark):
+    """num_shards=None on a raw build plan must not execute the build
+    twice: the table is auto-persisted before the num_shards lookup, so
+    the cogroup probe reuses the materialized shards."""
+    from pyspark import StorageLevel
+
+    from fastfilter_spark.operators.dist import (
+        build_sharded_table, probe_via_join)
+
+    keys = spark.range(20_000).select(
+        F.xxhash64(F.col("id")).alias("key"))
+    ftable = build_sharded_table(keys, "key", kind="fuse8", shard_bits=2)
+    assert ftable.storageLevel == StorageLevel.NONE
+    out = probe_via_join(keys, "key", ftable, num_shards=None)
+    assert ftable.storageLevel != StorageLevel.NONE, \
+        "filter table was not pinned before the num_shards lookup"
+    assert out.where(F.col("member")).count() == 20_000
+    ftable.unpersist()
+
+
+# -- conditional broadcasts ---------------------------------------------------
+
+def test_ngram_decontaminate_sharded_verify_matches_broadcast(spark):
+    """shard_bits>0 switches the exact-verify join off the forced
+    broadcast (a huge eval set's gram strings can be multi-GB); results
+    must be identical to the broadcast path."""
+    from fastfilter_spark.operators.dedup import ngram_decontaminate
+    train = spark.createDataFrame(
+        [(1, "alpha beta gamma delta"), (2, "epsilon zeta eta theta"),
+         (3, "iota kappa lambda mu"), (4, "beta gamma delta epsilon")],
+        "doc_id long, text string")
+    ev = spark.createDataFrame([("x beta gamma delta y",)], "text string")
+    a = sorted(r.doc_id for r in
+               ngram_decontaminate(train, ev, n=3).collect())
+    b = sorted(r.doc_id for r in
+               ngram_decontaminate(train, ev, n=3,
+                                   shard_bits=2).collect())
+    assert a == b == [2, 3]
+
+
+def test_boilerplate_broadcast_flag_and_min_docs_guard(spark):
+    from fastfilter_spark.operators.dedup import remove_boilerplate_lines
+    docs = spark.createDataFrame(
+        [(i, "COOKIE BANNER\ncontent %d\nFOOTER" % i) for i in range(6)],
+        "doc_id long, text string")
+    bc = {r.doc_id: r.text_clean for r in
+          remove_boilerplate_lines(docs, min_docs=5).collect()}
+    sh = {r.doc_id: r.text_clean for r in
+          remove_boilerplate_lines(docs, min_docs=5,
+                                   broadcast_boiler=False).collect()}
+    assert bc == sh
+    assert bc[0] == "content 0"
+    with pytest.raises(ValueError, match="min_docs"):
+        remove_boilerplate_lines(docs, min_docs=1)
+
+
+# -- embedding_near_dup empty input -------------------------------------------
+
+def test_embedding_near_dup_empty_input(spark):
+    from fastfilter_spark.operators.dedup import embedding_near_dup
+    empty = spark.createDataFrame([], "vec_id long, embedding array<float>")
+    out = embedding_near_dup(empty)
+    assert out.columns == ["id_a", "id_b", "cosine"]
+    assert out.count() == 0

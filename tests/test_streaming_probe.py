@@ -124,6 +124,90 @@ def test_empty_maintainer_passes_everything(spark, tmp_path):
     assert spark.read.parquet(out).count() == 300
 
 
+def test_live_maintainer_probe_composition(spark, tmp_path):
+    """VERDICT r3 #8: maintainer AND probe run as two concurrently-live
+    streaming queries; filter updates land mid-stream and the probe's
+    staleness bound is asserted both ways — keys unknown to the loaded
+    snapshot pass (under-drop, the documented direction), and once the
+    maintainer's log advances the very next probe micro-batch drops
+    them ALL (refresh_every=1 => staleness <= one micro-batch; members
+    never probe False)."""
+    import time
+
+    maint = IncrementalFilterMaintainer(str(tmp_path / "m"),
+                                        key_col="value", kind="fuse8",
+                                        shard_bits=2)
+    out = str(tmp_path / "out")
+    probe = StreamingFilterProbe(maint, "value", out,
+                                 mode="drop_members", refresh_every=1)
+    msrc, psrc = str(tmp_path / "msrc"), str(tmp_path / "psrc")
+
+    def wait_until(cond, what, timeout=120.0):
+        t0 = time.monotonic()
+        while time.monotonic() - t0 < timeout:
+            if cond():
+                return
+            time.sleep(0.3)
+        raise AssertionError(f"timed out waiting for {what}")
+
+    def sink_count():
+        try:
+            return spark.read.parquet(out).count()
+        except Exception:       # sink dir not created yet
+            return 0
+
+    # seed both sources so each stream has a batch 0 immediately
+    _feed(spark, _member_keys(spark, 0, 4000), msrc)
+    _feed(spark, _member_keys(spark, 0, 2000), psrc)
+
+    mq = (spark.readStream.schema(_SCHEMA).parquet(msrc).writeStream
+          .foreachBatch(maint.process_batch)
+          .option("checkpointLocation", str(tmp_path / "mckpt"))
+          .trigger(processingTime="500 milliseconds").start())
+    try:
+        # maintainer must learn the seed before the probe's first
+        # refresh, or the zero-FN phase-1 assertion races the bootstrap
+        wait_until(lambda: maint._next_seq(spark) >= 2,
+                   "maintainer to ingest the seed batch")
+
+        pq = (spark.readStream.schema(_SCHEMA).parquet(psrc).writeStream
+              .foreachBatch(probe.process_batch)
+              .option("checkpointLocation", str(tmp_path / "pckpt"))
+              .trigger(processingTime="500 milliseconds").start())
+        try:
+            # phase 1: pure members -> dropped to the last row
+            wait_until(lambda: probe._last_batch_id is not None,
+                       "probe to process the member-only batch")
+            assert sink_count() == 0
+
+            # phase 2a: keys the SNAPSHOT has never seen pass (staleness
+            # is under-drop, never over-drop); a few fp collisions may
+            # drop against the 4000 resident keys
+            fresh = _member_keys(spark, 4000, 4500)
+            _feed(spark, fresh, psrc)
+            wait_until(lambda: sink_count() >= 480,
+                       "stale-snapshot batch to pass the novel keys")
+            n_after_stale = sink_count()
+            assert 480 <= n_after_stale <= 500
+
+            # phase 2b: the update lands MID-STREAM (both queries still
+            # running); once the log advances, the next probe batch
+            # must drop every one of those keys -> sink count frozen
+            seq_before = maint._next_seq(spark)
+            _feed(spark, fresh, msrc)
+            wait_until(lambda: maint._next_seq(spark) > seq_before,
+                       "maintainer to ingest the mid-stream update")
+            done_batch = probe._last_batch_id
+            _feed(spark, fresh, psrc)
+            wait_until(lambda: probe._last_batch_id != done_batch,
+                       "probe to process the post-update batch")
+            assert sink_count() == n_after_stale
+        finally:
+            pq.stop()
+    finally:
+        mq.stop()
+
+
 def test_mode_validation():
     with pytest.raises(ValueError, match="unknown mode"):
         StreamingFilterProbe(None, "k", "/tmp/x", mode="bogus")

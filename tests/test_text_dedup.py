@@ -228,11 +228,14 @@ def test_multimodal_plumbing(spark):
     assert len(s) == 10 and all(len(r["samples"]) == 8 for r in s)
 
 
-def test_multimodal_real_decode_raises(spark):
+def test_multimodal_real_decode_rejects_non_png(spark):
+    """decode='real' on synthetic (non-PNG) payloads fails loudly with
+    the format error from the stdlib PNG decoder — never a silent fake
+    decode.  (Real-PNG end-to-end lives in test_multimodal_real.py.)"""
     from fastfilter_spark.operators.multimodal import (
         image_features, synthesize_media)
     media = synthesize_media(spark, 3, kind="image")
-    with pytest.raises(Exception):  # NotImplementedError inside executor
+    with pytest.raises(Exception, match="not a PNG"):
         image_features(media, decode="real").collect()
 
 
