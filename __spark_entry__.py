@@ -1003,6 +1003,85 @@ def _expected_image_phashes(n: int = 50, seed: int = 42) -> list[tuple]:
     return out
 
 
+def q_audio_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Evenly-spaced frame samples of 20 synthetic audio clips through
+    the distributed mapInPandas plumbing, quantized to integer
+    micro-units (floor(sample*1e6), float-free value hash); the oracle
+    is a driver-side pure-python replay of the same deterministic
+    decode (literal table), mirroring q_image_features."""
+    from fastfilter_spark.operators.multimodal import (
+        audio_frame_sample, synthesize_media)
+    media = synthesize_media(spark, 20, kind="audio")
+    s = audio_frame_sample(media, n_samples=4, decode="fake")
+    cols = [F.floor(F.col("samples")[i].cast("double") * 1e6)
+            .cast("long").alias(f"q{i}") for i in range(4)]
+    return s.select("media_id", *cols).orderBy("media_id")
+
+
+def _expected_audio_quants(n: int = 20, seed: int = 42,
+                           n_samples: int = 4) -> list[tuple]:
+    """Pure-python replay of synthesize_media(kind='audio') + the fake
+    wave decode + linspace sampling + micro-unit quantization."""
+    import math
+
+    import numpy as np
+
+    from fastfilter_spark.functions import kernels as K
+    out = []
+    for i in range(n):
+        stream = K.splitmix64_stream(int(K.mix_split(
+            np.array([i], dtype=np.uint64), seed)[0]), 64)
+        raw = np.frombuffer(stream.astype("<u8").tobytes(), dtype="<u8")
+        wave = raw.astype(np.float64) / 2**63 - 1.0
+        idx = np.linspace(0, len(wave) - 1, n_samples).astype(int)
+        picked = wave[idx].astype(np.float32)
+        out.append((i, *[math.floor(float(v) * 1e6) for v in picked]))
+    return out
+
+
+_BM25_QUERY_TERMS = ["filter", "spark", "stream"]
+
+
+def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranked retrieval: top-10 documents by BM25 for a fixed query.
+    Integer (rank, doc_id) output over float ordering (ann_topk
+    precedent); the per-document score sums its per-term contributions
+    in explicit term order so the ranking is reproducible (see
+    operators/ranking.py)."""
+    from fastfilter_spark.operators.ranking import bm25_topk
+    docs = _t(spark, sf_dir, "documents")
+    return bm25_topk(docs, _BM25_QUERY_TERMS, k=10).orderBy("rank")
+
+
+def _bm25_oracle_sql(terms: list[str], k: int = 10, k1: float = 1.2,
+                     b: float = 0.75) -> str:
+    """DuckDB replay of bm25_topk with the identical canonical op
+    order; float constants are interpolated via repr() so both engines
+    parse the exact same doubles."""
+    tlist = ", ".join(f"'{t}'" for t in sorted({t.lower() for t in terms}))
+    k1p1, one_m_b = repr(k1 + 1.0), repr(1.0 - b)
+    return (
+        "WITH toks AS (SELECT doc_id, tok.t AS term FROM documents, "
+        "UNNEST(list_filter(string_split_regex(lower(text), '[^a-z]+'), "
+        "x -> x <> '')) AS tok(t)), "
+        "dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id), "
+        "stats AS (SELECT count(*) AS n_docs, sum(dl) AS sum_dl FROM dl), "
+        "tf AS (SELECT doc_id, term, count(*) AS tf FROM toks "
+        f"WHERE term IN ({tlist}) GROUP BY doc_id, term), "
+        "dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term), "
+        "ts AS (SELECT tf.doc_id, tf.term, "
+        "ln(1.0 + (n_docs - df + 0.5) / (df + 0.5)) * "
+        f"((tf * {k1p1}) / (tf + {k1!r} * ({one_m_b} + {b!r} * "
+        "(CAST(dl * n_docs AS DOUBLE) / CAST(sum_dl AS DOUBLE))))) AS ts "
+        "FROM tf JOIN dfreq USING (term) JOIN dl USING (doc_id) "
+        "CROSS JOIN stats), "
+        "sc AS (SELECT doc_id, sum(ts ORDER BY term) AS score FROM ts "
+        "GROUP BY doc_id) "
+        "SELECT CAST(row_number() OVER (ORDER BY score DESC, doc_id) "
+        "AS INT) AS rank, doc_id FROM sc "
+        f"ORDER BY rank LIMIT {int(k)}")
+
+
 def q_filter_serialization(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Round-trip every filter kind through bytes + packed bytes; emits
     (kind, roundtrip_ok, packed_ok) as 0/1 invariants — the distributed
@@ -1093,9 +1172,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "line_dedup": q_line_dedup,
         "boilerplate_removal": q_boilerplate_removal,
         "heavy_hitters": q_heavy_hitters,
+        # ranked retrieval
+        "bm25_topk": q_bm25_topk,
         # sources
         "webpages_invariant": q_webpages_invariant,
         "image_features": q_image_features,
+        "audio_samples": q_audio_samples,
     }
 
 
@@ -1543,4 +1625,12 @@ def oracle_sql() -> dict[str, str]:
             + ", ".join(f"({i}, {ph})"
                         for i, ph in _expected_image_phashes(50))
             + ") AS t(media_id, phash) ORDER BY media_id"),
+        "audio_samples": (
+            "SELECT CAST(media_id AS BIGINT) AS media_id, "
+            "CAST(q0 AS BIGINT) AS q0, CAST(q1 AS BIGINT) AS q1, "
+            "CAST(q2 AS BIGINT) AS q2, CAST(q3 AS BIGINT) AS q3 "
+            "FROM (VALUES "
+            + ", ".join(str(row) for row in _expected_audio_quants(20))
+            + ") AS t(media_id, q0, q1, q2, q3) ORDER BY media_id"),
+        "bm25_topk": _bm25_oracle_sql(_BM25_QUERY_TERMS, k=10),
     }
