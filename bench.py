@@ -89,17 +89,22 @@ def main() -> None:
             clean = clean + 1 if (steal_jiffies() - s0) / 100.0 < 1.0 \
                 else 0
 
-    def timed(name: str, fn):
+    def timed(name: str, fn, extras: int = 2, consecutive: int = 2):
         # best-of-3 with per-run steal recorded: this sandbox VM has
         # random hypervisor/co-tenant CPU bursts, so single timings
         # swing 2-4x (round-2 lesson: a recorded cms_sketch 2.8x
         # "regression" was adjudicated as pure contamination by
         # interleaved A/B against the prior tree — see BENCH.md).  The
         # full distribution goes into the artifact so a slow best-of is
-        # distinguishable from a slow engine.
+        # distinguishable from a slow engine.  ``extras``/``consecutive``
+        # are raised for the HEADLINE query: a mid-round-4 run recorded
+        # 76-187 cpu-s of steal on every one of its five build runs (a
+        # storm with micro-lulls defeated the 2-window gate) while every
+        # later query ran calm — the binding metric deserves more of
+        # the shared calm budget than a secondary timing.
         best, best_steal, out = float("inf"), 0.0, None
         runs = []
-        todo, extras = 3, 2
+        todo = 3
         while todo > 0:
             todo -= 1
             s0 = steal_jiffies()
@@ -110,12 +115,12 @@ def main() -> None:
             runs.append({"s": round(dt, 3), "steal_cpu_s": st})
             if dt < best:
                 best, best_steal = dt, st
-            # a storm can poison all three scheduled runs; if even the
-            # BEST run saw steal, wait out a bounded slice of the storm
-            # and spend up to 2 extra runs so one query cannot decide
-            # the suite artifact from inside a storm
+            # a storm can poison all scheduled runs; if even the BEST
+            # run saw steal, wait out a bounded slice of the storm and
+            # spend extra runs so one query cannot decide the suite
+            # artifact from inside a storm
             if todo == 0 and best_steal > 1 and extras > 0:
-                wait_calm_suite()
+                wait_calm_suite(consecutive=consecutive)
                 todo, extras = 1, extras - 1
         timings[name] = round(best, 3)
         query_runs[name] = runs
@@ -147,7 +152,8 @@ def main() -> None:
                                    shard_bits=6)
         return sfilter
 
-    sfilter = timed("fuse8_build_urls", build_urls)
+    sfilter = timed("fuse8_build_urls", build_urls, extras=5,
+                    consecutive=4)
     throughput["fuse8_build_keys_per_sec"] = round(
         n_keys / timings["fuse8_build_urls"], 1)
 

@@ -181,6 +181,22 @@ def main() -> int:
             }
             with open(args.out + (".last" if not ok else ""), "w") as f:
                 json.dump(result, f, indent=1)
+            # every attempt accumulates (compact: no per-run arrays) so
+            # the night's evidence is machine-readable even when every
+            # attempt is refused
+            compact = {k: v for k, v in result.items() if k != "levels"}
+            compact["levels"] = {
+                c: {k: lv[k] for k in (
+                    "build_s", "build_keys_per_sec", "probe_s",
+                    "probe_keys_per_sec", "steal_cpu_s_during_best_build",
+                    "external_busy_cpu_s_during_best_build",
+                    "lost_cpu_s_during_best_build",
+                    "spin_mops_during_best_build") if k in lv}
+                for c, lv in result["levels"].items()}
+            compact["settled"] = {"2": settled(l2, spin_max),
+                                  "8": settled(l8, spin_max)}
+            with open(args.out + ".attempts.jsonl", "a") as f:
+                f.write(json.dumps(compact) + "\n")
             if ok:
                 return 0
         finally:
