@@ -880,6 +880,67 @@ def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("comp")
 
 
+_PR_MULT = 2654435761  # Knuth multiplicative constant — same in both engines
+
+
+def q_link_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Web-graph ranking: integer-exact PageRank (3 rounds, d=0.85,
+    fixed-point 1e-9 units) over a deterministic synthetic link graph
+    — each doc links to (doc_id*K + m) % n for m in {3,7,11}, pure
+    64-bit modular arithmetic both engines compute identically.  Top
+    20 nodes by rank; integer ranks make the result bit-stable under
+    any partitioning (float PageRank is not)."""
+    from fastfilter_spark.operators.graph import pagerank
+    docs = _t(spark, sf_dir, "documents")
+    ids = docs.select(F.col("doc_id").cast("long").alias("doc_id"))
+    n = ids.count()
+    if n <= 11:
+        raise ValueError("pagerank demo needs > 11 documents")
+    edges = (ids.select(
+        "doc_id",
+        F.explode(F.array(*[F.lit(m) for m in (3, 7, 11)])).alias("m"))
+        .select(F.col("doc_id").alias("src"),
+                ((F.col("doc_id") * F.lit(_PR_MULT) + F.col("m"))
+                 % F.lit(int(n))).alias("dst"))
+        .where(F.col("dst") != F.col("src")))
+    pr = pagerank(edges, "src", "dst", nodes=ids, node_col="doc_id",
+                  iterations=3)
+    return (pr.select(F.col("node").alias("doc_id"),
+                      F.col("rank").alias("pr"))
+            .orderBy(F.col("pr").desc(), "doc_id").limit(20))
+
+
+def _pagerank_oracle_sql(iterations: int = 3, damping_pct: int = 85,
+                         scale: int = 10**9, k: int = 20) -> str:
+    """DuckDB replay of q_link_pagerank: identical integer arithmetic,
+    iterations unrolled as CTE stages (sum() is HUGEINT in DuckDB, so
+    the final rank is cast back to BIGINT)."""
+    base = (100 - damping_pct) * scale // 100
+    ctes = [
+        "n AS (SELECT count(*) AS n FROM documents)",
+        "ids AS (SELECT CAST(doc_id AS BIGINT) AS doc_id FROM documents)",
+        f"edges AS (SELECT doc_id AS src, "
+        f"(doc_id * {_PR_MULT} + m.m) % n.n AS dst "
+        "FROM ids, n, (VALUES (3), (7), (11)) AS m(m) "
+        f"WHERE (doc_id * {_PR_MULT} + m.m) % n.n <> doc_id)",
+        "deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY src)",
+        f"r0 AS (SELECT doc_id AS node, CAST({scale} AS BIGINT) AS pr "
+        "FROM ids)",
+    ]
+    for i in range(1, iterations + 1):
+        ctes.append(
+            f"s{i} AS (SELECT e.dst AS node, sum(r.pr // d.deg) AS csum "
+            f"FROM edges e JOIN r{i-1} r ON r.node = e.src "
+            "JOIN deg d ON d.src = e.src GROUP BY e.dst)")
+        ctes.append(
+            f"r{i} AS (SELECT i.doc_id AS node, CAST({base} + "
+            f"({damping_pct} * coalesce(s.csum, 0)) // 100 AS BIGINT) "
+            f"AS pr FROM ids i LEFT JOIN s{i} s ON s.node = i.doc_id)")
+    return ("WITH " + ", ".join(ctes)
+            + f" SELECT node AS doc_id, pr FROM r{iterations} "
+            f"ORDER BY pr DESC, doc_id LIMIT {int(k)}")
+
+
 def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Training-mix sampling: 2 docs per (lang, source) cell, ranked by
     md5(text) — fully deterministic, engine-portable."""
@@ -1172,8 +1233,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "line_dedup": q_line_dedup,
         "boilerplate_removal": q_boilerplate_removal,
         "heavy_hitters": q_heavy_hitters,
-        # ranked retrieval
+        # ranked retrieval / web graph
         "bm25_topk": q_bm25_topk,
+        "link_pagerank": q_link_pagerank,
         # sources
         "webpages_invariant": q_webpages_invariant,
         "image_features": q_image_features,
@@ -1633,4 +1695,5 @@ def oracle_sql() -> dict[str, str]:
             + ", ".join(str(row) for row in _expected_audio_quants(20))
             + ") AS t(media_id, q0, q1, q2, q3) ORDER BY media_id"),
         "bm25_topk": _bm25_oracle_sql(_BM25_QUERY_TERMS, k=10),
+        "link_pagerank": _pagerank_oracle_sql(),
     }

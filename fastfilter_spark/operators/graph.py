@@ -31,7 +31,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["connected_components", "keep_cluster_representative"]
+__all__ = ["connected_components", "keep_cluster_representative",
+           "pagerank"]
 
 
 def connected_components(pairs: DataFrame, a_col: str, b_col: str,
@@ -119,6 +120,98 @@ def connected_components(pairs: DataFrame, a_col: str, b_col: str,
         "(graph diameter too large for the shortcutted propagation "
         "budget); raise max_iter — returning unconverged labels would "
         "silently under-dedup")
+
+
+def pagerank(edges: DataFrame, src_col: str, dst_col: str,
+             nodes: DataFrame | None = None, node_col: str = "node",
+             iterations: int = 3, damping_pct: int = 85,
+             scale: int = 10**9,
+             checkpoint_every: int = 4,
+             checkpoint_dir: str | None = None) -> DataFrame:
+    """Integer-exact PageRank over a link graph: (node, rank) after
+    ``iterations`` synchronous power-iteration rounds, where ``rank``
+    is a fixed-point BIGINT in units of ``1/scale`` (initial rank =
+    ``scale``).  The web-graph companion to the membership filters: a
+    Common-Crawl-style corpus ranks its url nodes by link structure to
+    prioritise crawl / weight training data.
+
+    ALL arithmetic is 64-bit integer — per-edge contribution is
+    ``rank div out_degree`` and the update is
+    ``((100-damping_pct)*scale) div 100 + (damping_pct*sum) div 100``
+    — so the result is bit-identical under ANY partitioning or
+    iteration order (long sums are associative+commutative; float
+    PageRank is famously not reproducible across partition counts).
+    That makes the operator oracle-checkable by exact hash and its
+    output stable across cluster sizes.  Rounding note: fixed-point
+    truncation loses < 1 unit (1e-9) per edge per round vs exact
+    rationals — negligible against the ranking's purpose and fully
+    deterministic.  Dangling nodes (no out-links) leak their mass,
+    the common large-graph simplification; redistributing it costs
+    one extra agg per round and is omitted here.
+
+    Scale shape: the edge table is the big side — it is hash-
+    partitioned on ``src`` ONCE, persisted, and every round's
+    rank-join reuses that layout, so only the node-sized rank table
+    (8+8 bytes a row) moves per round: one shuffle of ranks to the
+    edge partitioning, one map-side-combined groupBy(dst), one left
+    join back onto the node table.  Lineage is cut every
+    ``checkpoint_every`` rounds (same reliable-vs-local checkpoint
+    choice as :func:`connected_components`).
+    """
+    if iterations < 0:
+        raise ValueError("iterations must be >= 0")
+    if not (0 <= damping_pct <= 100):
+        raise ValueError("damping_pct must be in [0, 100]")
+    spark = edges.sparkSession
+    if checkpoint_dir is not None:
+        spark.sparkContext.setCheckpointDir(checkpoint_dir)
+
+    def _cut(df: DataFrame) -> DataFrame:
+        if checkpoint_dir is not None:
+            return df.checkpoint(eager=True)
+        return df.localCheckpoint(eager=True)
+
+    e = edges.select(F.col(src_col).cast("long").alias("src"),
+                     F.col(dst_col).cast("long").alias("dst"))
+    e = e.where(F.col("src").isNotNull() & F.col("dst").isNotNull())
+    if nodes is not None:
+        node_df = nodes.select(F.col(node_col).cast("long")
+                               .alias("node")).distinct()
+    else:
+        node_df = (e.select(F.col("src").alias("node"))
+                   .union(e.select(F.col("dst").alias("node")))
+                   .distinct())
+    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    # the big, loop-invariant side: partitioned by the join key once,
+    # persisted — each round's join reuses this layout instead of
+    # re-exchanging the edge table (the dominant cost at web scale)
+    e_deg = (e.join(deg, "src")
+             .repartition(F.col("src"))
+             .persist())
+    node_df = _cut(node_df.repartition(F.col("node")))
+
+    base = (100 - damping_pct) * scale // 100
+    ranks = node_df.withColumn("rank", F.lit(scale).cast("long"))
+    prev_cached: DataFrame | None = None
+    for it in range(iterations):
+        contrib = (e_deg.join(ranks.select(F.col("node").alias("src"),
+                                           "rank"), "src")
+                   .select("dst", F.expr("rank div deg").alias("c"))
+                   .groupBy("dst").agg(F.sum("c").alias("csum")))
+        new = (node_df.join(contrib.select(F.col("dst").alias("node"),
+                                           "csum"), "node", "left")
+               .select("node",
+                       (F.lit(base).cast("long")
+                        + F.expr(f"({damping_pct} * coalesce(csum, 0L))"
+                                 " div 100")).alias("rank")))
+        cut_this_round = (it + 1) % checkpoint_every == 0
+        new = _cut(new) if cut_this_round else new.persist()
+        new.count()  # materialize before dropping the previous round
+        if prev_cached is not None:
+            prev_cached.unpersist()
+        prev_cached = None if cut_this_round else new
+        ranks = new
+    return ranks.select("node", "rank")
 
 
 def keep_cluster_representative(df: DataFrame, pairs: DataFrame,

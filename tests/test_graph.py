@@ -94,3 +94,90 @@ def test_sessionize_rejects_column_collision(spark):
     import pytest as _pt
     with _pt.raises(ValueError, match="session_idx"):
         sessionize(df, "user_id", "ts")
+
+
+# ---------------------------------------------------------------- pagerank
+
+def _py_pagerank(edges, nodes, iterations=3, damping_pct=85, scale=10**9):
+    """Pure-python integer replay of operators.graph.pagerank."""
+    deg = {}
+    for s, _ in edges:
+        deg[s] = deg.get(s, 0) + 1
+    rank = {v: scale for v in nodes}
+    base = (100 - damping_pct) * scale // 100
+    for _ in range(iterations):
+        csum = {}
+        for s, d in edges:
+            if s in rank:
+                csum[d] = csum.get(d, 0) + rank[s] // deg[s]
+        rank = {v: base + damping_pct * csum.get(v, 0) // 100
+                for v in nodes}
+    return rank
+
+
+def _spark_pagerank(spark, edges, nodes=None, **kw):
+    from fastfilter_spark.operators.graph import pagerank
+    e = spark.createDataFrame(edges, "s long, d long")
+    nd = (spark.createDataFrame([(v,) for v in nodes], "node long")
+          if nodes is not None else None)
+    out = pagerank(e, "s", "d", nodes=nd, **kw)
+    return {r.node: r.rank for r in out.collect()}
+
+
+def test_pagerank_matches_pure_python_replay(spark):
+    edges = [(0, 1), (0, 2), (1, 2), (2, 0), (3, 2), (4, 2), (2, 4)]
+    nodes = [0, 1, 2, 3, 4]
+    got = _spark_pagerank(spark, edges, nodes)
+    assert got == _py_pagerank(edges, nodes)
+    # the hub (2) must outrank the leaf that nothing links to (3)
+    assert got[2] > got[3]
+
+
+def test_pagerank_dangling_and_isolated_nodes(spark):
+    # 3 has no out-links (dangling: leaks mass); 9 is fully isolated
+    edges = [(0, 3), (1, 3), (2, 3)]
+    nodes = [0, 1, 2, 3, 9]
+    got = _spark_pagerank(spark, edges, nodes)
+    exp = _py_pagerank(edges, nodes)
+    assert got == exp
+    base = 15 * 10**7
+    assert got[9] == base  # isolated: base rank only
+    assert got[3] > got[0] == got[1] == got[2] == base
+
+
+def test_pagerank_partitioning_invariance(spark):
+    """Integer fixed-point ranks are bit-identical under any
+    partitioning — the property float PageRank lacks."""
+    import random
+    rng = random.Random(7)
+    edges = [(rng.randrange(40), rng.randrange(40)) for _ in range(160)]
+    edges = [(a, b) for a, b in edges if a != b]
+    nodes = list(range(40))
+    a = _spark_pagerank(spark, edges, nodes)
+    from fastfilter_spark.operators.graph import pagerank
+    e = (spark.createDataFrame(edges, "s long, d long")
+         .repartition(13))
+    nd = spark.createDataFrame([(v,) for v in nodes], "node long") \
+        .repartition(3)
+    out = pagerank(e, "s", "d", nodes=nd, iterations=3,
+                   checkpoint_every=2)
+    b = {r.node: r.rank for r in out.collect()}
+    assert a == b == _py_pagerank(edges, nodes)
+
+
+def test_pagerank_zero_iterations_and_validation(spark):
+    got = _spark_pagerank(spark, [(0, 1)], [0, 1], iterations=0)
+    assert got == {0: 10**9, 1: 10**9}
+    from fastfilter_spark.operators.graph import pagerank
+    e = spark.createDataFrame([(0, 1)], "s long, d long")
+    with pytest.raises(ValueError):
+        pagerank(e, "s", "d", iterations=-1)
+    with pytest.raises(ValueError):
+        pagerank(e, "s", "d", damping_pct=101)
+
+
+def test_pagerank_default_node_set_is_edge_endpoints(spark):
+    edges = [(5, 6), (6, 7)]
+    got = _spark_pagerank(spark, edges)  # nodes inferred
+    assert set(got) == {5, 6, 7}
+    assert got == _py_pagerank(edges, [5, 6, 7])
