@@ -941,6 +941,72 @@ def _pagerank_oracle_sql(iterations: int = 3, damping_pct: int = 85,
             f"ORDER BY pr DESC, doc_id LIMIT {int(k)}")
 
 
+def q_kmv_distinct_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV bottom-k sketch (k=512) estimating the corpus vocabulary
+    size — exact integer estimator, bit-reproducible in any engine
+    (operators/kmv.py; estimator from Beyer et al. 2007)."""
+    from fastfilter_spark.functions.text import word_tokens
+    from fastfilter_spark.operators.kmv import kmv_distinct
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.explode(word_tokens(F.col("text"))).alias("token"))
+    return kmv_distinct(toks, "token", k=512)
+
+
+def q_kmv_jaccard_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bottom-k Jaccard (k=256) between the token vocabularies of the
+    even- and odd-doc_id halves of the corpus — the corpus-overlap
+    probe a crawl-vs-crawl comparison runs before deciding to merge
+    (Cohen & Kaplan 2007 estimator, exact integer arithmetic)."""
+    from fastfilter_spark.functions.text import word_tokens
+    from fastfilter_spark.operators.kmv import kmv_jaccard
+    docs = _t(spark, sf_dir, "documents")
+    toks = lambda parity: (docs.where(F.col("doc_id") % 2 == parity)
+                           .select(F.explode(word_tokens(F.col("text")))
+                                   .alias("token")))
+    return kmv_jaccard(toks(0), toks(1), "token", k=256)
+
+
+_KMV_TOK_CTE = (
+    "tok AS (SELECT tok.t AS token FROM documents, "
+    "UNNEST(list_filter(string_split_regex(lower(text), '[^a-z]+'), "
+    "x -> x <> '')) AS tok(t))")
+_KMV_H = "('0x' || substr(md5(token), 1, 15))::BIGINT"
+
+
+def _kmv_distinct_oracle_sql(k: int = 512) -> str:
+    hmax = 1 << 60
+    return (
+        f"WITH {_KMV_TOK_CTE}, "
+        f"bk AS (SELECT DISTINCT {_KMV_H} AS h FROM tok "
+        f"ORDER BY h LIMIT {k}), "
+        "a AS (SELECT CAST(count(*) AS BIGINT) AS n_min, "
+        "max(h) AS kth_hash FROM bk) "
+        f"SELECT n_min, kth_hash, CAST(CASE WHEN n_min < {k} THEN n_min "
+        f"ELSE CAST(CAST({k - 1} AS HUGEINT) * {hmax} // kth_hash "
+        "AS BIGINT) END AS BIGINT) AS distinct_est FROM a")
+
+
+def _kmv_jaccard_oracle_sql(k: int = 256) -> str:
+    return (
+        "WITH tok AS (SELECT doc_id % 2 AS par, tok.t AS token "
+        "FROM documents, "
+        "UNNEST(list_filter(string_split_regex(lower(text), '[^a-z]+'), "
+        "x -> x <> '')) AS tok(t)), "
+        f"ba AS (SELECT DISTINCT {_KMV_H} AS h FROM tok WHERE par = 0 "
+        f"ORDER BY h LIMIT {k}), "
+        f"bb AS (SELECT DISTINCT {_KMV_H} AS h FROM tok WHERE par = 1 "
+        f"ORDER BY h LIMIT {k}), "
+        "bu AS (SELECT h FROM (SELECT h FROM ba UNION SELECT h FROM bb) "
+        f"ORDER BY h LIMIT {k}), "
+        "m AS (SELECT CAST(count(*) AS BIGINT) AS matches FROM bu "
+        "WHERE h IN (SELECT h FROM ba) AND h IN (SELECT h FROM bb)), "
+        "u AS (SELECT CAST(count(*) AS BIGINT) AS union_k FROM bu) "
+        "SELECT union_k, matches, CAST(CASE WHEN union_k = 0 THEN 0 "
+        "ELSE matches * 1000000 // union_k END AS BIGINT) AS jaccard_e6 "
+        "FROM u, m")
+
+
 def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Training-mix sampling: 2 docs per (lang, source) cell, ranked by
     md5(text) — fully deterministic, engine-portable."""
@@ -1207,6 +1273,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tdigest_quantiles": q_tdigest_quantiles,
         "cms_heavy_hitters": q_cms_heavy_hitters,
         "theta_intersection": q_theta_intersection,
+        "kmv_distinct_tokens": q_kmv_distinct_tokens,
+        "kmv_jaccard_sources": q_kmv_jaccard_sources,
         # relational demos + skew handling
         "pricing_summary": q_pricing_summary,
         "salted_agg": q_salted_agg,
@@ -1696,4 +1764,6 @@ def oracle_sql() -> dict[str, str]:
             + ") AS t(media_id, q0, q1, q2, q3) ORDER BY media_id"),
         "bm25_topk": _bm25_oracle_sql(_BM25_QUERY_TERMS, k=10),
         "link_pagerank": _pagerank_oracle_sql(),
+        "kmv_distinct_tokens": _kmv_distinct_oracle_sql(),
+        "kmv_jaccard_sources": _kmv_jaccard_oracle_sql(),
     }
