@@ -1007,6 +1007,49 @@ def _kmv_jaccard_oracle_sql(k: int = 256) -> str:
         "FROM u, m")
 
 
+def q_ams_f2_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AMS/count-sketch F2 (self-join size) of the token column vs the
+    exact value — the skew-pricing number a planner wants before
+    grouping 10^12 rows by token, from a few-KB mergeable counter table
+    (operators/moments.py; AMS 1996 / count-sketch form)."""
+    from fastfilter_spark.functions.text import word_tokens
+    from fastfilter_spark.operators.moments import ams_f2
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.explode(word_tokens(F.col("text"))).alias("token"))
+    est = ams_f2(toks, "token", width=256, depth=5)
+    exact = (toks.groupBy("token").agg(F.count("*").alias("c"))
+             .agg(F.sum(F.col("c").cast("decimal(38,0)") * F.col("c"))
+                  .cast("long").alias("f2_exact")))
+    return (est.crossJoin(exact).select(
+        "f2_est", "f2_exact",
+        F.expr("CAST(CASE WHEN f2_exact = 0 THEN 0 ELSE "
+               "abs(CAST(f2_est AS DECIMAL(38,0)) - f2_exact) * 1000000 "
+               "DIV f2_exact END AS BIGINT)").alias("rel_err_e6")))
+
+
+def _ams_f2_oracle_sql(width: int = 256, depth: int = 5) -> str:
+    med_off = (depth - 1) // 2
+    return (
+        f"WITH {_KMV_TOK_CTE}, "
+        "hs AS (SELECT i.i AS row, ('0x' || substr(md5(token || ':' || "
+        "CAST(i.i AS VARCHAR)), 1, 15))::BIGINT AS h FROM tok, "
+        f"(SELECT unnest(range({depth})) AS i) AS i(i)), "
+        f"sk AS (SELECT row, h % {width} AS bucket, "
+        f"SUM(1 - 2 * ((h // {1 << 59}) % 2)) AS c "
+        "FROM hs GROUP BY 1, 2), "
+        "per AS (SELECT row, SUM(CAST(c AS HUGEINT) * c) AS row_est "
+        "FROM sk GROUP BY 1), "
+        f"med AS (SELECT row_est FROM per ORDER BY row_est "
+        f"LIMIT 1 OFFSET {med_off}), "
+        "ex AS (SELECT CAST(SUM(CAST(c AS HUGEINT) * c) AS BIGINT) "
+        "AS f2_exact FROM (SELECT count(*) AS c FROM tok GROUP BY token)) "
+        "SELECT CAST(row_est AS BIGINT) AS f2_est, f2_exact, "
+        "CAST(CASE WHEN f2_exact = 0 THEN 0 ELSE "
+        "abs(CAST(row_est AS HUGEINT) - f2_exact) * 1000000 // f2_exact "
+        "END AS BIGINT) AS rel_err_e6 FROM med, ex")
+
+
 def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Training-mix sampling: 2 docs per (lang, source) cell, ranked by
     md5(text) — fully deterministic, engine-portable."""
@@ -1275,6 +1318,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "theta_intersection": q_theta_intersection,
         "kmv_distinct_tokens": q_kmv_distinct_tokens,
         "kmv_jaccard_sources": q_kmv_jaccard_sources,
+        "ams_f2_tokens": q_ams_f2_tokens,
         # relational demos + skew handling
         "pricing_summary": q_pricing_summary,
         "salted_agg": q_salted_agg,
@@ -1766,4 +1810,5 @@ def oracle_sql() -> dict[str, str]:
         "link_pagerank": _pagerank_oracle_sql(),
         "kmv_distinct_tokens": _kmv_distinct_oracle_sql(),
         "kmv_jaccard_sources": _kmv_jaccard_oracle_sql(),
+        "ams_f2_tokens": _ams_f2_oracle_sql(),
     }

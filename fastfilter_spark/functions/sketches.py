@@ -691,10 +691,97 @@ class MisraGries:
         return cls(k, dict(zip(items.tolist(), cnts.tolist())), error, n)
 
 
+class AMS:
+    """AMS second-frequency-moment (F2 / self-join-size) sketch in its
+    count-sketch form (Alon-Matias-Szegedy 1996; Charikar-Chen-
+    Farach-Colton 2002; Thorup-Zhang 2004 analysis): ``depth``
+    independent rows of ``width`` signed counters; each key adds
+    ``sign_i(key)`` to ``table[i][bucket_i(key)]``; each row's
+    sum-of-squares is an unbiased F2 estimate with relative stderr
+    ``sqrt(2/width)``; the estimate is the row median.
+
+    What F2 answers that no other sketch here does: the SELF-JOIN SIZE
+    of a column — sum over keys of count² — which prices a groupBy /
+    join on that key (skew in one number: F2/n is the expected rows per
+    matched key) without ever materializing per-key counts.  Merge is
+    counter-wise addition, so it is associative/commutative in any
+    partition order, and the estimate is exact integer arithmetic given
+    the hashes (row sums of squares in Python ints — no overflow, no
+    float drift).
+    """
+
+    MAGIC = b"AMS1"
+    _SEED = 0x243F6A8885A308D3  # pi hex, decorrelates from CMS's phi seeds
+
+    def __init__(self, width: int = 256, depth: int = 5,
+                 table: np.ndarray | None = None, total: int = 0):
+        if width < 2 or depth < 1:
+            raise ValueError("need width >= 2, depth >= 1")
+        self.width = width
+        self.depth = depth
+        self.table = (np.zeros((depth, width), dtype=np.int64)
+                      if table is None else table)
+        self.total = int(total)
+
+    def _bucket_sign(self, values: np.ndarray):
+        """(depth, n) bucket indices and ±1 signs; row i uses seed i."""
+        idx = np.empty((self.depth, len(values)), dtype=np.int64)
+        sgn = np.empty((self.depth, len(values)), dtype=np.int64)
+        for i in range(self.depth):
+            h = _hash_values(values, seed=self._SEED + i)
+            idx[i] = K.reduce32((h & U64(0xFFFFFFFF)),
+                                self.width).astype(np.int64)
+            # top bit decides the sign — independent of the bucket bits
+            sgn[i] = 1 - 2 * (h >> U64(63)).astype(np.int64)
+        return idx, sgn
+
+    def update(self, values: np.ndarray,
+               counts: np.ndarray | None = None) -> "AMS":
+        values = np.asarray(values)
+        c = (np.ones(len(values), dtype=np.int64)
+             if counts is None else np.asarray(counts, dtype=np.int64))
+        idx, sgn = self._bucket_sign(values)
+        for i in range(self.depth):
+            np.add.at(self.table[i], idx[i], sgn[i] * c)
+        self.total += int(c.sum())
+        return self
+
+    def merge(self, other: "AMS") -> "AMS":
+        if (other.width, other.depth) != (self.width, self.depth):
+            raise ValueError("AMS shape mismatch")
+        return AMS(self.width, self.depth, self.table + other.table,
+                   self.total + other.total)
+
+    def estimate(self) -> int:
+        """Median over rows of the row's sum of squared counters.
+
+        Exact-integer: squares accumulate in Python ints, and an even
+        ``depth`` takes the LOWER middle row (no float averaging), so
+        the same counters give the same estimate on any platform.
+        """
+        ests = sorted(sum(int(x) * int(x) for x in row)
+                      for row in self.table)
+        return ests[(self.depth - 1) // 2]
+
+    def to_bytes(self) -> bytes:
+        return (self.MAGIC
+                + struct.pack("<IIq", self.width, self.depth, self.total)
+                + self.table.astype("<i8").tobytes())
+
+    @classmethod
+    def from_bytes(cls, buf: bytes) -> "AMS":
+        assert buf[:4] == cls.MAGIC
+        width, depth, total = struct.unpack_from("<IIq", buf, 4)
+        table = np.frombuffer(buf, dtype="<i8", offset=20,
+                              count=width * depth) \
+            .reshape(depth, width).copy()
+        return cls(width, depth, table, total)
+
+
 SKETCH_TYPES = {
     b"HLL1": HyperLogLog, b"CMS1": CountMin, b"BLM1": Bloom,
     b"KLL1": KLL, b"TDG1": TDigest, b"TKV1": ThetaKMV,
-    b"MGS1": MisraGries,
+    b"MGS1": MisraGries, b"AMS1": AMS,
 }
 
 

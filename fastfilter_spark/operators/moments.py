@@ -1,0 +1,104 @@
+"""Frequency-moment estimation as DataFrame algebra: a distributed
+AMS/count-sketch F2 (self-join size) over a key column.
+
+F2 = sum over distinct keys of count², the quantity that prices a
+groupBy or self-join on that key (expected matched rows per probe =
+F2/n) and measures its skew — computed WITHOUT a per-key groupBy.
+The exact computation at 10^12 rows shuffles every distinct key; this
+operator shuffles ``depth * width`` signed counters (a few KB), built
+from map-side partial sums.
+
+Estimator (Alon-Matias-Szegedy 1996, count-sketch form of
+Charikar-Chen-Farach-Colton 2002): for each of ``depth`` independent
+hash rows, every key adds sign(key) to one of ``width`` counters; the
+row's sum of squared counters is an unbiased F2 estimate with relative
+standard error sqrt(2/width); the output is the row MEDIAN (lower
+middle for an even depth, so everything stays in exact integer
+arithmetic).
+
+Like operators/kmv.py this is deliberately NOT the byte-blob sketch
+(functions/sketches.py:AMS serves streaming/multi-sketch folds): the
+DataFrame form keeps the whole plan in JVM codegen — md5 hashing,
+sign/bucket arithmetic, two map-side-combined aggregations — with no
+Python in the hot path, and its portable 60-bit md5 hash makes the
+result bit-reproducible in any SQL engine (the driver's DuckDB oracle
+runs the same algebra verbatim).
+
+The reference (FastFilter/xor_singleheader) has no moment sketches;
+this extends the library's mergeable-sketch family per
+BASELINE.json:north_rule (merge associativity holds trivially: counter
+sums commute with any partition order).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["ams_f2_counters", "ams_f2"]
+
+
+def _h60(col) -> "F.Column":
+    """The engine-portable 60-bit hash (operators/kmv.py semantics)."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
+def ams_f2_counters(df: DataFrame, key_col: str, width: int = 256,
+                    depth: int = 5) -> DataFrame:
+    """The sketch itself as a DataFrame: ``(row, bucket, c)`` with
+    ``c = sum of signs`` — at most ``depth * width`` rows regardless of
+    input size.  Buckets nobody hit are absent (their counter is 0).
+
+    Plan shape: one projection computes all ``depth`` hashes per key
+    (JVM codegen), ``explode`` fans them out, and ONE hash aggregation
+    with map-side partial sums reduces to the counter table.  Null keys
+    are ignored (contribute to no counter), matching the null policy of
+    every other sketch here.
+    """
+    if width < 2 or depth < 1:
+        raise ValueError("need width >= 2, depth >= 1")
+    k = F.col(key_col).cast("string")
+    rows = F.array(*[
+        F.struct(
+            F.lit(i).alias("row"),
+            F.pmod(_h60(F.concat(k, F.lit(f":{i}"))), F.lit(width))
+             .alias("bucket"),
+            # bit 59 (the hash's top bit) decides the sign; bucket uses
+            # the low bits via pmod, so sign and bucket are independent
+            (F.lit(1) - F.lit(2) * F.pmod(
+                F.shiftrightunsigned(
+                    _h60(F.concat(k, F.lit(f":{i}"))), 59),
+                F.lit(2))).alias("sign"),
+        ) for i in range(depth)])
+    return (df.where(F.col(key_col).isNotNull())
+            .select(F.explode(rows).alias("e"))
+            .groupBy(F.col("e.row").alias("row"),
+                     F.col("e.bucket").alias("bucket"))
+            .agg(F.sum("e.sign").cast("long").alias("c")))
+
+
+def ams_f2(df: DataFrame, key_col: str, width: int = 256,
+           depth: int = 5) -> DataFrame:
+    """One-row F2 estimate: ``(f2_est, width, depth)``, all BIGINT.
+
+    Row sums of squares accumulate in DECIMAL(38,0) (a counter can
+    reach n, so its square can pass int64 at 10^10+ rows); the median
+    picks row ``(depth-1)//2`` of the sorted row estimates — exact
+    integer arithmetic end to end, same policy as kmv_distinct.
+    """
+    counters = ams_f2_counters(df, key_col, width=width, depth=depth)
+    per_row = counters.groupBy("row").agg(
+        F.sum(F.col("c").cast("decimal(38,0)") * F.col("c"))
+         .alias("row_est"))
+    # agg (not a window) so an EMPTY input still yields one row with
+    # f2_est = 0; collect_list holds <= depth scalars, array_sort makes
+    # the median deterministic, F.get is null (not an ANSI error) when
+    # the list is short
+    med_idx = (depth - 1) // 2
+    return per_row.agg(
+        F.coalesce(
+            F.get(F.array_sort(F.collect_list("row_est")), med_idx),
+            F.lit(0).cast("decimal(38,0)"))
+        .cast("long").alias("f2_est"),
+        F.lit(width).cast("long").alias("width"),
+        F.lit(depth).cast("long").alias("depth"))

@@ -202,3 +202,17 @@ def test_pii_and_repetition_signals_stay_codegen(spark, sf_dir):
     assert "EvalPython" not in plan
     read = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
     assert read and "text" in read[0] and "source" not in read[0]
+
+
+def test_ams_f2_plan_is_codegen_with_partial_agg(spark, sf_dir):
+    """The F2 sketch must be pure JVM (md5/pmod codegen, no Python) and
+    its counter aggregation must partial-combine map-side, so the
+    exchange moves <= width*depth counter rows per task, never keys."""
+    from fastfilter_spark.operators.moments import ams_f2
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    toks = docs.select(F.explode(F.split(F.lower("text"), "[^a-z]+"))
+                       .alias("token")).where(F.col("token") != "")
+    plan = _plan(ams_f2(toks, "token", width=64, depth=3))
+    assert "EvalPython" not in plan
+    assert "partial_sum" in plan
+    assert plan.index("partial_sum") > plan.index("Exchange")
