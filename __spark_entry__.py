@@ -1050,6 +1050,58 @@ def _ams_f2_oracle_sql(width: int = 256, depth: int = 5) -> str:
         "END AS BIGINT) AS rel_err_e6 FROM med, ex")
 
 
+def q_priority_sample_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Priority sampling (Duffield-Lund-Thorup 2007): one token-weighted
+    64-doc sample answers per-source token totals for slices chosen
+    after the fact — est vs exact per source (operators/sampling.py)."""
+    from fastfilter_spark.functions.text import word_tokens
+    from fastfilter_spark.operators.sampling import (
+        priority_sample, priority_subset_sum)
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", "source",
+        F.size(word_tokens(F.col("text"))).cast("long").alias("w"))
+    sample = priority_sample(docs, "doc_id", "w", k=64)
+    est = priority_subset_sum(sample, ["source"])
+    exact = docs.groupBy("source").agg(
+        F.sum("w").cast("long").alias("exact_sum"))
+    return (exact.join(est, "source", "left")
+            .select("source",
+                    F.coalesce("est_sum", F.lit(0)).cast("long")
+                     .alias("est_sum"),
+                    F.coalesce("n_sampled", F.lit(0)).cast("long")
+                     .alias("n_sampled"),
+                    "exact_sum")
+            .orderBy("source"))
+
+
+def _priority_sample_oracle_sql(k: int = 64) -> str:
+    h = ("('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT"
+         " + 1")
+    return (
+        "WITH w AS (SELECT doc_id, source, "
+        "len(list_filter(string_split_regex(lower(text), '[^a-z]+'), "
+        "x -> x <> '')) AS w FROM documents), "
+        f"q AS (SELECT doc_id, source, w, {h} AS h, "
+        f"CAST(w AS HUGEINT) * {1 << 60} // ({h}) AS pri "
+        "FROM w WHERE w > 0), "
+        "rk AS (SELECT *, row_number() OVER "
+        "(ORDER BY pri DESC, h ASC, doc_id ASC) AS rn FROM q), "
+        f"tau AS (SELECT coalesce(max(CASE WHEN rn = {k + 1} THEN pri "
+        f"END), 0) AS tau FROM rk WHERE rn <= {k + 1}), "
+        "samp AS (SELECT source, "
+        "greatest(CAST(w AS HUGEINT), tau) AS ew "
+        f"FROM rk, tau WHERE rn <= {k}), "
+        "est AS (SELECT source, CAST(sum(ew) AS BIGINT) AS est_sum, "
+        "CAST(count(*) AS BIGINT) AS n_sampled FROM samp "
+        "GROUP BY source), "
+        "ex AS (SELECT source, CAST(sum(w) AS BIGINT) AS exact_sum "
+        "FROM w GROUP BY source) "
+        "SELECT ex.source, CAST(coalesce(est_sum, 0) AS BIGINT) "
+        "AS est_sum, CAST(coalesce(n_sampled, 0) AS BIGINT) "
+        "AS n_sampled, exact_sum "
+        "FROM ex LEFT JOIN est USING(source) ORDER BY ex.source")
+
+
 def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Training-mix sampling: 2 docs per (lang, source) cell, ranked by
     md5(text) — fully deterministic, engine-portable."""
@@ -1319,6 +1371,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmv_distinct_tokens": q_kmv_distinct_tokens,
         "kmv_jaccard_sources": q_kmv_jaccard_sources,
         "ams_f2_tokens": q_ams_f2_tokens,
+        "priority_sample_sources": q_priority_sample_sources,
         # relational demos + skew handling
         "pricing_summary": q_pricing_summary,
         "salted_agg": q_salted_agg,
@@ -1811,4 +1864,5 @@ def oracle_sql() -> dict[str, str]:
         "kmv_distinct_tokens": _kmv_distinct_oracle_sql(),
         "kmv_jaccard_sources": _kmv_jaccard_oracle_sql(),
         "ams_f2_tokens": _ams_f2_oracle_sql(),
+        "priority_sample_sources": _priority_sample_oracle_sql(),
     }
