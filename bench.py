@@ -202,6 +202,18 @@ def main() -> None:
     timed("kll_quantiles",
           lambda: kll_quantiles(lineitem, "l_extendedprice", [0.1, 0.5, 0.9]))
     timed("cms_sketch", lambda: cms_sketch(lineitem, "l_suppkey"))
+    from fastfilter_spark.operators.kmv import kmv_distinct
+    from fastfilter_spark.operators.moments import ams_f2
+    from fastfilter_spark.operators.sampling import priority_sample
+    timed("kmv_distinct",
+          lambda: kmv_distinct(lineitem, "l_orderkey", k=4096).collect())
+    timed("ams_f2",
+          lambda: ams_f2(lineitem, "l_suppkey", width=256,
+                         depth=5).collect())
+    timed("priority_sample",
+          lambda: priority_sample(
+              lineitem.select("l_orderkey", "l_quantity"),
+              "l_orderkey", "l_quantity", k=1024).count())
 
     # 5. dedup over documents
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet") \
@@ -229,10 +241,12 @@ def main() -> None:
     # build + probe over identical url keys) runs at local[2], local[8]
     # and local[32] in fresh JVMs via scripts/scaling_bench.py; the
     # N->4N pair for the rule is 2->8 (compute-scaling regime).  8->32
-    # on this single-socket VM is DRAM-bandwidth-capped (32 concurrent
-    # peel kernels saturate memory; see BENCH.md) and reported honestly
-    # alongside.  Skippable with SPARK_GRAFT_SKIP_SCALING=1 for quick
-    # iteration.
+    # on this single-JVM VM is bounded by shuffle/Arrow/scheduling
+    # overhead, NOT DRAM bandwidth (the round-3 dram_ceiling sweep
+    # measured the kernel at 0.77 efficiency using ~36 of ~209 GB/s;
+    # see BENCH.md) — a real 4N cluster scales those components out.
+    # Reported honestly alongside.  Skippable with
+    # SPARK_GRAFT_SKIP_SCALING=1 for quick iteration.
     scaling: dict = {}
     if not os.environ.get("SPARK_GRAFT_SKIP_SCALING"):
         import subprocess

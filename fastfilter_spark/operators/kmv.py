@@ -50,15 +50,18 @@ HMAX60 = 1 << 60
 
 
 def portable_hash60(col) -> "F.Column":
-    """60-bit uniform hash of a string column, identical in Spark and
-    DuckDB: ``conv(substring(md5(x), 1, 15), 16, 10)`` as BIGINT.
+    """60-bit uniform hash of a column, identical in Spark and DuckDB:
+    ``conv(substring(md5(CAST(x AS STRING)), 1, 15), 16, 10)`` as
+    BIGINT.  Non-string inputs hash their canonical decimal rendering
+    (DuckDB twin: ``md5(CAST(x AS VARCHAR))``).
 
     15 hex chars keep the value positive in int64 (so signed and
     unsigned order agree) while leaving collision mass negligible for
     estimation: ~4e5 colliding pairs among 10^12 keys (n^2 / 2^61),
     a 4e-7 relative perturbation of the distinct estimate.
     """
-    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+    return F.conv(F.substring(F.md5(col.cast("string")), 1, 15),
+                  16, 10).cast("long")
 
 
 def bottomk_hashes(df: DataFrame, key_col: str, k: int,
