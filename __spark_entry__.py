@@ -1102,6 +1102,37 @@ def _priority_sample_oracle_sql(k: int = 64) -> str:
         "FROM ex LEFT JOIN est USING(source) ORDER BY ex.source")
 
 
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GPT-style sequence packing manifest: every document's exact
+    position in the deterministic global token stream and the 2048-
+    token training sequences it occupies — computed with the two-phase
+    prefix sum (no single-partition window; operators/packing.py)."""
+    from fastfilter_spark.functions.text import word_tokens
+    from fastfilter_spark.operators.packing import pack_sequences
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.size(word_tokens(F.col("text"))).cast("long").alias("ntok"))
+    return pack_sequences(docs, "doc_id", "ntok", seq_len=2048)
+
+
+def _pack_sequences_oracle_sql(seq_len: int = 2048) -> str:
+    return (
+        "WITH w AS (SELECT doc_id, "
+        "len(list_filter(string_split_regex(lower(text), '[^a-z]+'), "
+        "x -> x <> '')) AS ntok, "
+        "('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT "
+        "AS h FROM documents), "
+        "q AS (SELECT doc_id, ntok, sum(ntok) OVER (ORDER BY h, doc_id "
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - ntok AS s "
+        "FROM w WHERE ntok > 0) "
+        "SELECT doc_id, CAST(ntok AS BIGINT) AS n_tokens, "
+        "CAST(s AS BIGINT) AS start_token, "
+        f"CAST(s // {seq_len} AS BIGINT) AS seq_id, "
+        f"CAST(s % {seq_len} AS BIGINT) AS offset_in_seq, "
+        f"CAST((s + ntok - 1) // {seq_len} AS BIGINT) AS end_seq_id "
+        "FROM q")
+
+
 def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Training-mix sampling: 2 docs per (lang, source) cell, ranked by
     md5(text) — fully deterministic, engine-portable."""
@@ -1372,6 +1403,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmv_jaccard_sources": q_kmv_jaccard_sources,
         "ams_f2_tokens": q_ams_f2_tokens,
         "priority_sample_sources": q_priority_sample_sources,
+        "pack_sequences": q_pack_sequences,
         # relational demos + skew handling
         "pricing_summary": q_pricing_summary,
         "salted_agg": q_salted_agg,
@@ -1865,4 +1897,5 @@ def oracle_sql() -> dict[str, str]:
         "kmv_jaccard_sources": _kmv_jaccard_oracle_sql(),
         "ams_f2_tokens": _ams_f2_oracle_sql(),
         "priority_sample_sources": _priority_sample_oracle_sql(),
+        "pack_sequences": _pack_sequences_oracle_sql(),
     }
