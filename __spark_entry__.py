@@ -1325,7 +1325,8 @@ def _bm25_oracle_sql(terms: list[str], k: int = 10, k1: float = 1.2,
         "ts AS (SELECT tf.doc_id, tf.term, "
         "ln(1.0 + (n_docs - df + 0.5) / (df + 0.5)) * "
         f"((tf * {k1p1}) / (tf + {k1!r} * ({one_m_b} + {b!r} * "
-        "(CAST(dl * n_docs AS DOUBLE) / CAST(sum_dl AS DOUBLE))))) AS ts "
+        "(CAST(dl AS DOUBLE) * CAST(n_docs AS DOUBLE) "
+        "/ CAST(sum_dl AS DOUBLE))))) AS ts "
         "FROM tf JOIN dfreq USING (term) JOIN dl USING (doc_id) "
         "CROSS JOIN stats), "
         "sc AS (SELECT doc_id, sum(ts ORDER BY term) AS score FROM ts "

@@ -586,10 +586,17 @@ def main() -> None:
     # >=0.8 evidence (the full pair JSON, with its four-counter
     # certification, lives at the referenced path)
     import glob
+    import re as _re
+
+    def _round_no(path: str) -> int:
+        m = _re.search(r"certified_pair_r(\d+)\.json$", path)
+        return int(m.group(1)) if m else -1
+
     cert = None
+    # numeric round order: lexicographic would rank r4 above r10
     for p in sorted(glob.glob(os.path.join(
             _REPO, "bench_artifacts", "certified_pair_r*.json")),
-            reverse=True):
+            key=_round_no, reverse=True):
         try:
             with open(p) as f:
                 d = json.load(f)

@@ -115,6 +115,11 @@ def connected_components(pairs: DataFrame, a_col: str, b_col: str,
         labels = new.select("node", "comp")
         if changed == 0:
             return labels
+    # don't leak the last round's cached frame into the caller's
+    # session on the failure path (the success path hands its cache to
+    # the caller as the result's backing store)
+    if prev_cached is not None:
+        prev_cached.unpersist()
     raise RuntimeError(
         f"connected_components did not converge in {max_iter} rounds "
         "(graph diameter too large for the shortcutted propagation "
@@ -211,6 +216,14 @@ def pagerank(edges: DataFrame, src_col: str, dst_col: str,
             prev_cached.unpersist()
         prev_cached = None if cut_this_round else new
         ranks = new
+    # the loop-invariant edge layout is dead once iteration ends; the
+    # returned rank frame is already materialized (each round counts),
+    # so dropping e_deg's blocks cannot trigger a recompute surprise —
+    # without this, every pagerank() call leaks an executor-storage
+    # copy of the big side for the life of the session.  The FINAL
+    # rank cache intentionally survives as the result's backing store;
+    # callers that are done with it unpersist the returned frame.
+    e_deg.unpersist()
     return ranks.select("node", "rank")
 
 

@@ -291,6 +291,13 @@ def audio_frame_sample(df: DataFrame, n_samples: int = 16,
                 else:
                     raw = np.frombuffer(bytes(payload), dtype="<u8")
                     wave = (raw.astype(np.float64) / 2**63 - 1.0)
+                if len(wave) == 0:
+                    # a 0-frame clip is a data defect: fail loudly with
+                    # the codec contract's ValueError, not an IndexError
+                    # from the negative linspace indices below
+                    raise ValueError(
+                        "audio_frame_sample: zero-length clip for "
+                        f"media_id={pdf['media_id'].iloc[len(samples)]}")
                 idx = np.linspace(0, len(wave) - 1, n_samples).astype(int)
                 samples.append(wave[idx].astype(np.float32))
             yield pd.DataFrame({"media_id": pdf["media_id"].to_numpy(),

@@ -100,14 +100,12 @@ def pack_sequences(df: DataFrame, id_col: str, token_col: str,
             .join(F.broadcast(offsets), _B)
             .select(id_col,
                     F.col(token_col).alias("n_tokens"),
-                    start.alias("start_token"),
-                    start.cast("long").alias("_ff_s"))
-            .select(id_col, "n_tokens",
-                    F.col("_ff_s").alias("start_token"),
+                    start.cast("long").alias("start_token"))
+            .select(id_col, "n_tokens", "start_token",
                     # integer div, not float /: float64 loses exactness
                     # past 2^53 stream positions
-                    F.expr(f"_ff_s div {seq_len}").alias("seq_id"),
-                    F.pmod(F.col("_ff_s"), seq_len).cast("long")
+                    F.expr(f"start_token div {seq_len}").alias("seq_id"),
+                    F.pmod(F.col("start_token"), seq_len).cast("long")
                     .alias("offset_in_seq"),
-                    F.expr(f"(_ff_s + n_tokens - 1) div {seq_len}")
-                    .alias("end_seq_id")))
+                    F.expr(f"(start_token + n_tokens - 1) "
+                           f"div {seq_len}").alias("end_seq_id")))

@@ -78,7 +78,10 @@ def bm25_scores(docs: DataFrame, query_terms: list[str],
     idf = F.log(F.lit(1.0)
                 + (F.col("n_docs") - F.col("df") + F.lit(0.5))
                 / (F.col("df") + F.lit(0.5)))
-    rel_dl = (F.col("dl") * F.col("n_docs")).cast("double") \
+    # double BEFORE the product: dl * n_docs as int64 overflows once
+    # n_docs reaches 10^12 with book-length documents (ANSI abort);
+    # the oracle mirrors the cast order token-for-token
+    rel_dl = (F.col("dl").cast("double") * F.col("n_docs").cast("double")) \
         / F.col("sum_dl").cast("double")
     tscore = idf * ((F.col("tf") * F.lit(k1 + 1.0))
                     / (F.col("tf") + F.lit(k1)
@@ -99,7 +102,11 @@ def bm25_topk(docs: DataFrame, query_terms: list[str], k: int = 10,
     output, float ordering (rank ties broken by id ascending)."""
     scores = bm25_scores(docs, query_terms, id_col=id_col,
                          text_col=text_col, k1=k1, b=b)
+    # TakeOrderedAndProject FIRST (per-partition top-k heaps, no
+    # single-partition exchange of the full scored set — common query
+    # terms score a large fraction of the corpus), THEN rank the k
+    # survivors with a window that only ever sees k rows
+    topk = scores.orderBy(F.desc("score"), F.col(id_col)).limit(int(k))
     w = Window.orderBy(F.desc("score"), F.col(id_col))
-    return (scores.withColumn("rank", F.row_number().over(w))
-            .where(F.col("rank") <= int(k))
+    return (topk.withColumn("rank", F.row_number().over(w))
             .select("rank", id_col))

@@ -138,10 +138,24 @@ def main() -> int:
         attempt += 1
         log(f"attempt {attempt}: calm window reached, firing pair")
         open(PAIRLOCK, "w").close()
+
+        def refused(reason: str, **extra) -> None:
+            # refusals must reach the machine-readable evidence file
+            # too — an all-refused night otherwise leaves attempts.jsonl
+            # empty, exactly when the refusal record matters most
+            rec = {"certified": False, "refused": reason,
+                   "attempt": attempt,
+                   "finished_at": time.strftime("%Y-%m-%dT%H:%M:%SZ",
+                                                time.gmtime())}
+            rec.update(extra)
+            with open(args.out + ".attempts.jsonl", "a") as f:
+                f.write(json.dumps(rec) + "\n")
+
         try:
             l2 = run_level(2, runs=6, env_extra=env_extra)
             if not l2:
                 log("level 2 produced no output; retrying later")
+                refused("level-2 no output")
                 continue
             spin_max = max((r.get("spin_mops", 0)
                             for r in l2["build_runs"]), default=0)
@@ -152,10 +166,17 @@ def main() -> int:
                     f"lost {l2.get('lost_cpu_s_during_best_build')}, "
                     f"spin {l2.get('spin_mops_during_best_build')} "
                     f"vs max {spin_max}); skipping level 8")
+                refused("level-2 contamination gate", level2={
+                    k: l2.get(k) for k in (
+                        "build_s", "steal_cpu_s_during_best_build",
+                        "external_busy_cpu_s_during_best_build",
+                        "lost_cpu_s_during_best_build",
+                        "spin_mops_during_best_build")})
                 continue
             l8 = run_level(8, runs=8, env_extra=env_extra)
             if not l8:
                 log("level 8 produced no output; retrying later")
+                refused("level-8 no output")
                 continue
             spin_max = max(spin_max,
                            max((r.get("spin_mops", 0)

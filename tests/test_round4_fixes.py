@@ -158,3 +158,76 @@ def test_embedding_near_dup_empty_input(spark):
     out = embedding_near_dup(empty)
     assert out.columns == ["id_a", "id_b", "cosine"]
     assert out.count() == 0
+
+
+# -- round-4 code-review fixes ------------------------------------------------
+
+def test_bm25_topk_uses_take_ordered_not_global_window(spark):
+    """The top-k selection must be TakeOrderedAndProject (per-partition
+    heaps); a no-partition window over the full scored set would plan
+    Exchange SinglePartition for every scored document."""
+    from fastfilter_spark.operators.ranking import bm25_topk
+    docs = spark.createDataFrame(
+        [(i, f"alpha beta gamma doc{i} alpha") for i in range(50)],
+        "doc_id long, text string").repartition(8)
+    q = bm25_topk(docs, ["alpha", "beta"], k=5)
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+    out = q.collect()
+    assert [r.rank for r in out] == [1, 2, 3, 4, 5]
+
+
+def test_pagerank_unpersists_edge_layout(spark):
+    """pagerank must drop its loop-invariant persisted edge table on
+    return — only the result's backing cache may remain."""
+    from fastfilter_spark.operators.graph import pagerank
+    jsc = spark.sparkContext._jsc.sc()
+    edges = spark.createDataFrame(
+        [(i, (i * 7) % 20) for i in range(60)], "s long, d long")
+    before = jsc.getPersistentRDDs().size()
+    ranks = pagerank(edges, "s", "d", iterations=2)
+    n = ranks.count()
+    assert n == 60  # union of 60 srcs and their 20 dsts (subset)
+    after = jsc.getPersistentRDDs().size()
+    # allowed survivors: the returned rank cache and the node_df
+    # lineage cut; the e_deg layout (the big side) must be gone
+    assert after - before <= 2, (before, after)
+
+
+def test_components_nonconvergence_releases_cache(spark):
+    """The RuntimeError path must not leak the last round's cache."""
+    from fastfilter_spark.operators.graph import connected_components
+    jsc = spark.sparkContext._jsc.sc()
+    # a long path graph cannot converge in 1 round
+    pairs = _pairs(spark, [(i, i + 1) for i in range(40)])
+    before = jsc.getPersistentRDDs().size()
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(pairs, "a", "b", max_iter=1)
+    after = jsc.getPersistentRDDs().size()
+    assert after - before <= 1, (before, after)
+
+
+def test_audio_zero_length_clip_raises_valueerror(spark):
+    """A zero-frame clip must fail with the codec contract's loud
+    ValueError, not a bare IndexError from negative indices."""
+    from fastfilter_spark.operators.multimodal import audio_frame_sample
+    df = spark.createDataFrame([(1, "audio", bytearray(b""))],
+                               "media_id long, kind string, payload binary")
+    with pytest.raises(Exception) as ei:
+        audio_frame_sample(df, n_samples=4, decode="fake").collect()
+    assert "zero-length clip" in str(ei.value)
+
+
+def test_bench_certified_pair_numeric_round_order(tmp_path):
+    """r10 must outrank r4 (lexicographic sort would invert them) —
+    replicates bench.py's _round_no key inline (bench.py is a script,
+    importing it would execute main)."""
+    import re
+
+    def round_no(path):
+        m = re.search(r"certified_pair_r(\d+)\.json$", path)
+        return int(m.group(1)) if m else -1
+    files = [str(tmp_path / f"certified_pair_r{i}.json")
+             for i in (4, 10, 2)]
+    ordered = sorted(files, key=round_no, reverse=True)
+    assert ordered[0].endswith("r10.json")
