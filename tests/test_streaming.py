@@ -196,3 +196,32 @@ def test_sketch_aggregator_state_commit_is_atomic(spark, tmp_path):
         state_dir=state)
     assert agg2.last_batch_id == 0
     assert agg2.sketches["kll"].n == 50
+
+
+def test_streaming_ams_f2_fold(spark, tmp_path):
+    """The round-4 AMS sketch composes with the streaming aggregator:
+    two micro-batches fold to the BYTE-identical sketch a single batch
+    fold produces (counter-additive merge), survive a restart from
+    persisted state, and estimate the exact F2."""
+    from fastfilter_spark.functions.sketches import AMS
+    src = str(tmp_path / "src_ams")
+    state = str(tmp_path / "state_ams")
+    mk = lambda: AMS(width=256, depth=5)
+    agg = StreamingSketchAggregator("value", {"f2": mk},
+                                   state_dir=state, as_float=False)
+    _write_batch(spark, src, 0, 3000)
+    _run_once(spark, src, str(tmp_path / "ck_ams"), agg.process_batch)
+    _write_batch(spark, src, 3000, 5000)
+    _run_once(spark, src, str(tmp_path / "ck_ams"), agg.process_batch)
+
+    vals = (np.arange(5000) * 2654435761).astype(np.int64)
+    local = mk().update(vals)
+    assert agg.sketches["f2"].to_bytes() == local.to_bytes()
+    est = agg.sketches["f2"].estimate()
+    # all values distinct -> exact F2 = n
+    assert abs(est - 5000) <= 3 * 5000 * (2 / 256) ** 0.5
+
+    # a fresh aggregator resumes from the persisted blob
+    agg2 = StreamingSketchAggregator("value", {"f2": mk},
+                                    state_dir=state)
+    assert agg2.sketches["f2"].to_bytes() == local.to_bytes()
