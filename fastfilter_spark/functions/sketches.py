@@ -78,6 +78,7 @@ class HyperLogLog:
     """Dense HLL with 2^p 6-bit-equivalent registers (stored uint8)."""
 
     MAGIC = b"HLL1"
+    SPARSE_MAGIC = b"HLS1"
 
     def __init__(self, p: int = 12, registers: np.ndarray | None = None):
         if not 4 <= p <= 18:
@@ -127,10 +128,31 @@ class HyperLogLog:
         return float(est)
 
     def to_bytes(self) -> bytes:
+        # Sparse encoding when it is strictly smaller: at web scale the
+        # grouped path (sketch_by_key) shuffles one blob per (task, key)
+        # and MOST keys are small — a host with 12 distinct URLs fills
+        # ~12 of 4096 registers, so shipping (index:u32, rho:u8) pairs
+        # (5 B/entry + 9 B header) instead of the dense 2^p register
+        # array cuts the exchange from 4 KB to ~70 B per partial.  The
+        # in-memory form stays dense (update/merge are unchanged); only
+        # the wire format adapts.  Cutover at nnz*5+9 < m+5.
+        nz = np.flatnonzero(self.registers)
+        if nz.size * 5 + 4 < self.m:
+            return (self.SPARSE_MAGIC + struct.pack("<BI", self.p, nz.size)
+                    + nz.astype(np.uint32).tobytes()
+                    + self.registers[nz].tobytes())
         return self.MAGIC + struct.pack("<B", self.p) + self.registers.tobytes()
 
     @classmethod
     def from_bytes(cls, buf: bytes) -> "HyperLogLog":
+        if buf[:4] == cls.SPARSE_MAGIC:
+            p, nnz = struct.unpack_from("<BI", buf, 4)
+            idx = np.frombuffer(buf, dtype=np.uint32, count=nnz, offset=9)
+            rho = np.frombuffer(buf, dtype=np.uint8, count=nnz,
+                                offset=9 + 4 * nnz)
+            regs = np.zeros(1 << p, dtype=np.uint8)
+            regs[idx.astype(np.int64)] = rho
+            return cls(p, regs)
         assert buf[:4] == cls.MAGIC
         p = struct.unpack_from("<B", buf, 4)[0]
         regs = np.frombuffer(buf, dtype=np.uint8, count=1 << p, offset=5).copy()
@@ -782,6 +804,7 @@ SKETCH_TYPES = {
     b"HLL1": HyperLogLog, b"CMS1": CountMin, b"BLM1": Bloom,
     b"KLL1": KLL, b"TDG1": TDigest, b"TKV1": ThetaKMV,
     b"MGS1": MisraGries, b"AMS1": AMS,
+    b"HLS1": HyperLogLog,  # sparse wire form; same in-memory class
 }
 
 

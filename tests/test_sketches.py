@@ -337,3 +337,43 @@ def test_heavy_hitters_rejects_sub_guarantee_threshold(spark):
     df = spark.range(0, 1000).select((F.col("id") % 7).alias("v"))
     with pytest.raises(ValueError, match="guarantee"):
         heavy_hitters(df, "v", min_count=2, k=4)
+
+
+# -- Sparse HLL wire encoding ------------------------------------------------
+
+def test_hll_sparse_wire_roundtrip_and_size():
+    # a small-cardinality sketch ships sparse and MUCH smaller than dense
+    vals = RNG.integers(0, 1 << 62, size=12, dtype=np.int64)
+    hll = HyperLogLog(p=12).update(vals)
+    blob = hll.to_bytes()
+    assert blob[:4] == b"HLS1"
+    assert len(blob) < 12 * 5 + 16 < hll.m  # ~70 B, not 4 KB
+    rt = sketch_from_bytes(blob)
+    assert np.array_equal(rt.registers, hll.registers)
+    assert rt.estimate() == hll.estimate()
+    # a saturated sketch stays dense
+    big = HyperLogLog(p=8).update(
+        RNG.integers(0, 1 << 62, size=50_000, dtype=np.int64))
+    dense = big.to_bytes()
+    assert dense[:4] == b"HLL1"
+    assert np.array_equal(sketch_from_bytes(dense).registers, big.registers)
+
+
+def test_hll_sparse_dense_merge_equivalence():
+    # merging across mixed wire encodings is identical to dense-only
+    small = HyperLogLog(p=10).update(
+        RNG.integers(0, 1 << 62, size=20, dtype=np.int64))
+    large = HyperLogLog(p=10).update(
+        RNG.integers(0, 1 << 62, size=80_000, dtype=np.int64))
+    assert small.to_bytes()[:4] == b"HLS1"
+    assert large.to_bytes()[:4] == b"HLL1"
+    via_wire = sketch_from_bytes(small.to_bytes()).merge(
+        sketch_from_bytes(large.to_bytes()))
+    direct = small.merge(large)
+    assert np.array_equal(via_wire.registers, direct.registers)
+    # cutover boundary: encode/decode is lossless right at the switch
+    for n in (200, 205, 210):
+        h = HyperLogLog(p=10).update(
+            RNG.integers(0, 1 << 62, size=n, dtype=np.int64))
+        assert np.array_equal(
+            sketch_from_bytes(h.to_bytes()).registers, h.registers)
