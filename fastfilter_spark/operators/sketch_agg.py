@@ -403,8 +403,12 @@ def sketch_by_key(df: DataFrame, key_cols: list[str], col: str,
     rows into per-key partial sketches IN PLACE (map-side combine — no
     row ever shuffles), emits (key, blob) rows, and a single shuffle
     merges blobs per key.  For distinct-URLs-per-host over 10^12 rows
-    the exchange carries |hosts seen| x |tasks| KB-blobs instead of
-    10^12 keys.  Skew is defused by construction: a key hot in N tasks
+    the exchange carries |hosts seen| x |tasks| blobs instead of
+    10^12 keys — and a sketch whose wire format adapts to its fill
+    (HLL ships sparse (index, rho) pairs under ~20% register
+    occupancy) cuts the common long-tail-key partial from KBs to tens
+    of bytes, so the shuffle is priced by total distinct mass, not
+    |keys| x dense-sketch-size.  Skew is defused by construction: a key hot in N tasks
     yields N partial blobs whose merge is KB-sized work, never a fat
     task of raw rows — no salting needed.
 
