@@ -445,6 +445,12 @@ def embedding_near_dup(df: DataFrame, id_col: str = "vec_id",
             for pdf in it:
                 if not len(pdf):
                     continue
+                lens = pdf[vec_col].map(len)
+                if (lens != dim).any():
+                    raise ValueError(
+                        f"embedding_near_dup: {vec_col} rows with "
+                        f"dimension(s) {sorted(set(lens[lens != dim]))} "
+                        f"!= sampled dimension {dim}")
                 M = np.stack(pdf[vec_col].map(np.asarray).to_numpy())
                 bits = (M @ planes) > 0            # (n, T*P)
                 for t in range(n_tables):
@@ -455,14 +461,21 @@ def embedding_near_dup(df: DataFrame, id_col: str = "vec_id",
                         "table": np.int32(t), "bucket": bucket})
         return fn
 
-    first_vec = df.select(vec_col).first()
+    # sample a NON-NULL vector for the dimension — first() on the raw
+    # column can land on a null row and would misreport an input that
+    # still holds real vectors as empty
+    first_vec = df.select(vec_col).where(F.col(vec_col).isNotNull()).first()
     if first_vec is None or first_vec[0] is None:
         # empty input (or all-null vectors): no pairs, and no dimension
         # to size the hyperplanes from
         return df.sparkSession.createDataFrame(
             [], schema="id_a long, id_b long, cosine double")
     dim = len(first_vec[0])
-    bucketed = df.select(id_col, vec_col).mapInPandas(
+    # null vectors can't be near-duplicates of anything — drop them
+    # JVM-side so the Arrow batches only carry stackable rows (a null
+    # inside a batch would otherwise break np.stack)
+    bucketed = (df.select(id_col, vec_col)
+                .where(F.col(vec_col).isNotNull())).mapInPandas(
         bucket_fn(dim),
         schema=f"{id_col} long, {vec_col} array<float>, "
                "table int, bucket long")

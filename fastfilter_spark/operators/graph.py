@@ -199,16 +199,22 @@ def pagerank(edges: DataFrame, src_col: str, dst_col: str,
     ranks = node_df.withColumn("rank", F.lit(scale).cast("long"))
     prev_cached: DataFrame | None = None
     for it in range(iterations):
+        # csum and the damping product run in DECIMAL(38,0): a hub with
+        # ~10^8 full-rank in-links pushes damping_pct * csum past 2^63
+        # (ANSI abort) even though the final rank fits in a long — same
+        # idiom as kmv/moments/sampling for exact integer products.
         contrib = (e_deg.join(ranks.select(F.col("node").alias("src"),
                                            "rank"), "src")
-                   .select("dst", F.expr("rank div deg").alias("c"))
+                   .select("dst", F.expr("CAST(rank div deg "
+                                         "AS DECIMAL(38,0))").alias("c"))
                    .groupBy("dst").agg(F.sum("c").alias("csum")))
         new = (node_df.join(contrib.select(F.col("dst").alias("node"),
                                            "csum"), "node", "left")
                .select("node",
                        (F.lit(base).cast("long")
-                        + F.expr(f"({damping_pct} * coalesce(csum, 0L))"
-                                 " div 100")).alias("rank")))
+                        + F.expr(f"CAST(({damping_pct} * coalesce(csum, "
+                                 "CAST(0 AS DECIMAL(38,0)))) DIV 100 "
+                                 "AS BIGINT)")).alias("rank")))
         cut_this_round = (it + 1) % checkpoint_every == 0
         new = _cut(new) if cut_this_round else new.persist()
         new.count()  # materialize before dropping the previous round

@@ -79,14 +79,22 @@ def priority_sample(df: DataFrame, id_col: str, weight_col: str,
                     f"* {HMAX60} div {_H}")))
     order = [F.col(_PRI).desc(), F.col(_H).asc(), F.col(id_col).asc()]
     topk1 = with_pri.orderBy(*order).limit(k + 1)
+    # tau = priority of row k+1 (0 when the input had <= k rows),
+    # derived as a whole-frame window over the ALREADY-LIMITED k+1
+    # rows: an aggregate-then-crossJoin would evaluate the
+    # TakeOrderedAndProject subtree twice (it is not an Exchange, so
+    # ReuseExchange cannot dedupe it) — twice the corpus scan for the
+    # operator's dominant cost.  The window runs on <= k+1 rows in one
+    # partition, which is exactly the scale a top-k head stage owns.
     ranked = topk1.withColumn(
         _RN, F.row_number().over(Window.orderBy(*order)))
-    # tau = priority of row k+1; 0 when the input had <= k rows
-    tau = ranked.agg(F.coalesce(
-        F.max(F.when(F.col(_RN) == k + 1, F.col(_PRI))),
-        F.lit(0).cast("long")).alias(_TAU))
-    sample = ranked.where(F.col(_RN) <= k)
-    return (sample.crossJoin(F.broadcast(tau))
+    w_all = (Window.orderBy(*order)
+             .rowsBetween(Window.unboundedPreceding,
+                          Window.unboundedFollowing))
+    ranked = ranked.withColumn(_TAU, F.coalesce(
+        F.max(F.when(F.col(_RN) == k + 1, F.col(_PRI))).over(w_all),
+        F.lit(0).cast("long")))
+    return (ranked.where(F.col(_RN) <= k)
             .select(*df.columns,
                     F.greatest(F.col(weight_col).cast("long"),
                                F.col(_TAU)).alias("est_weight")))

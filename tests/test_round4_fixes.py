@@ -231,3 +231,27 @@ def test_bench_certified_pair_numeric_round_order(tmp_path):
              for i in (4, 10, 2)]
     ordered = sorted(files, key=round_no, reverse=True)
     assert ordered[0].endswith("r10.json")
+
+
+def test_embedding_near_dup_tolerates_null_vectors(spark):
+    """Null vectors mixed with real rows must be dropped JVM-side, not
+    crash np.stack inside the Arrow batch; an exact-dup pair among the
+    non-null rows must still surface."""
+    from fastfilter_spark.operators.dedup import embedding_near_dup
+    rows = [(1, [1.0, 0.0, 0.0]), (2, None), (3, [1.0, 0.0, 0.0]),
+            (4, [0.0, 1.0, 0.0]), (5, None)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = embedding_near_dup(df, threshold=0.99).collect()
+    assert {(r["id_a"], r["id_b"]) for r in got} == {(1, 3)}
+
+
+def test_embedding_near_dup_dimension_mismatch_is_loud(spark):
+    """A row whose vector length disagrees with the sampled dimension
+    must raise a named error, not numpy's bare shape complaint."""
+    import pytest as _pytest
+    from fastfilter_spark.operators.dedup import embedding_near_dup
+    rows = [(1, [1.0, 0.0]), (2, [1.0, 0.0, 0.0])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    with _pytest.raises(Exception) as ei:
+        embedding_near_dup(df, threshold=0.9).collect()
+    assert "sampled dimension" in str(ei.value)
