@@ -572,7 +572,8 @@ def main() -> None:
                     "steal_cpu_s_during_best_build",
                     "external_busy_cpu_s_during_best_build",
                     "lost_cpu_s_during_best_build",
-                    "spin_mops_during_best_build")
+                    "spin_mops_during_best_build",
+                    "mem_gbps_during_best_build")
         compact_scaling = {
             k: v for k, v in scaling.items()
             if k not in ("levels", "retries", "calm_waits_s")}

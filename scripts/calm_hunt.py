@@ -187,6 +187,8 @@ def main() -> int:
                   and settled(l8, spin_max))
             log(f"attempt {attempt}: build eff {e:.3f} probe eff "
                 f"{ep:.3f} l2 {l2['build_s']}s l8 {l8['build_s']}s "
+                f"mem {l2.get('mem_gbps_during_best_build')}/"
+                f"{l8.get('mem_gbps_during_best_build')} GB/s "
                 f"settled l2={settled(l2, spin_max)} "
                 f"l8={settled(l8, spin_max)} -> "
                 f"{'CERTIFIED' if ok else 'miss'}")
@@ -212,7 +214,8 @@ def main() -> int:
                     "probe_keys_per_sec", "steal_cpu_s_during_best_build",
                     "external_busy_cpu_s_during_best_build",
                     "lost_cpu_s_during_best_build",
-                    "spin_mops_during_best_build") if k in lv}
+                    "spin_mops_during_best_build",
+                    "mem_gbps_during_best_build") if k in lv}
                 for c, lv in result["levels"].items()}
             compact["settled"] = {"2": settled(l2, spin_max),
                                   "8": settled(l8, spin_max)}

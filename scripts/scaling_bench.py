@@ -121,6 +121,43 @@ def _spin_mops(dur: float = 0.25) -> float:
     return n / (time.perf_counter() - t0) / 1e6
 
 
+_MEM_BUFS = None
+
+
+def _mem_gbps(mb: int = 256, reps: int = 3) -> float:
+    """Single-thread DRAM bandwidth probe (numpy memcpy, read+write
+    bytes counted like scripts/dram_ceiling.py): the fifth
+    contamination counter, INFORMATIONAL — it does not gate settled().
+
+    Why it exists: the round-4 attempt-1 miss (2026-08-18) ran both
+    levels 1.5-1.8x slower than the round-3 certified calm pass on
+    byte-identical code with all four counters clean and spin probes
+    within parity — consistent with a co-tenant VM saturating the
+    shared memory bus, which the cache-resident integer spin loop
+    cannot see but the memory-random-access peel kernel pays for
+    directly.  Recording bus bandwidth per run makes such windows
+    distinguishable in the artifact instead of reading as an
+    unexplained engine slowdown.  Kept out of the certification
+    criteria mid-hunt so certified pairs stay comparable across
+    rounds; a future round may add a parity bar once a session's
+    calm-window range is established."""
+    global _MEM_BUFS
+    import numpy as np
+    if _MEM_BUFS is None:
+        a = np.empty(mb << 20, dtype=np.uint8)
+        b = np.empty(mb << 20, dtype=np.uint8)
+        np.copyto(b, a)                      # fault the pages
+        _MEM_BUFS = (a, b)
+    a, b = _MEM_BUFS
+    best = 0.0
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        np.copyto(b, a)
+        dt = time.perf_counter() - t0
+        best = max(best, a.nbytes * 2 / dt / 1e9)
+    return best
+
+
 def _tree_jiffies() -> int:
     """utime+stime summed over THIS process and every live descendant
     (the JVM and its python workers are our children).  Used to split
@@ -204,7 +241,7 @@ def run_level(cpus: int) -> dict:
     # storm that poisons all N scheduled runs otherwise decides the
     # level (and the round's efficiency figure) by itself.
     best_build, steal_s, ext_s, lost_s = float("inf"), 0.0, 0.0, 0.0
-    spin_best = 0.0
+    spin_best, mem_best = 0.0, 0.0
     build_runs: list[dict] = []
     sf = None
     # wall-clock cap on the timed-run loop: in a calm window RUNS runs
@@ -220,6 +257,7 @@ def run_level(cpus: int) -> dict:
                 and time.perf_counter() - runs_t0 > level_budget):
             break
         runs_left -= 1
+        mem_pre = _mem_gbps()
         spin_pre = _spin_mops()
         s0 = steal_jiffies()
         b0, tr0, j0 = _busy_jiffies(), _tree_jiffies(), _total_jiffies()
@@ -232,13 +270,15 @@ def run_level(cpus: int) -> dict:
                   / 100.0)
         lost = _lost_cpu_s(dt, _total_jiffies() - j0)
         spin = min(spin_pre, _spin_mops())   # worse of the two brackets
+        mem = min(mem_pre, _mem_gbps())      # worse of the two brackets
         build_runs.append({"s": round(dt, 3), "steal_cpu_s": round(st, 1),
                            "external_busy_cpu_s": round(ext, 1),
                            "lost_cpu_s": round(lost, 1),
-                           "spin_mops": round(spin, 2)})
+                           "spin_mops": round(spin, 2),
+                           "mem_gbps": round(mem, 1)})
         if dt < best_build:
             best_build, steal_s, ext_s, lost_s = dt, st, ext, lost
-            spin_best = spin
+            spin_best, mem_best = spin, mem
         if runs_left == 0 and extras_left > 0 and (
                 steal_s > 2
                 # best run's bracketing spin probes ran >15% below the
@@ -290,6 +330,7 @@ def run_level(cpus: int) -> dict:
         "external_busy_cpu_s_during_best_build": round(ext_s, 1),
         "lost_cpu_s_during_best_build": round(lost_s, 1),
         "spin_mops_during_best_build": round(spin_best, 2),
+        "mem_gbps_during_best_build": round(mem_best, 1),
         "build_runs": build_runs,
         "probe_runs_s": probe_runs,
         "level_wall_s": round(lvl_wall, 1),
