@@ -1292,6 +1292,33 @@ def _expected_audio_quants(n: int = 20, seed: int = 42,
     return out
 
 
+def q_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus collocations: top-20 word bigrams by PMI-ordered lift.
+    Exact integer arithmetic end to end — lift_ppm = (c_pair * T *
+    1e6) div (c1 * c2) in DECIMAL(38,0), monotone in PMI with no
+    cross-engine libm ulp risk (operators/collocations.py)."""
+    from fastfilter_spark.operators.collocations import pmi_collocations
+    docs = _t(spark, sf_dir, "documents")
+    return pmi_collocations(docs, min_count=5, top_k=20).orderBy("rank")
+
+
+def q_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Group-keyed train/val/test split: every pseudo-domain lands
+    entirely on one side (n_domains per split sums to the distinct
+    domain count — the leakage-safety invariant the oracle recomputes
+    from the same portable md5 bucketing).  Zero-shuffle projection;
+    operators/splits.py."""
+    from fastfilter_spark.operators.splits import leakage_safe_split
+    docs = _t(spark, sf_dir, "documents")
+    d = docs.withColumn("domain", F.concat(
+        F.lit("site"), (F.col("doc_id") % 101).cast("string")))
+    return (leakage_safe_split(d, "domain")
+            .groupBy("split")
+            .agg(F.count("*").alias("n_docs"),
+                 F.countDistinct("domain").alias("n_domains"))
+            .orderBy("split"))
+
+
 _BM25_QUERY_TERMS = ["filter", "spark", "stream"]
 
 
@@ -1431,6 +1458,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "line_dedup": q_line_dedup,
         "boilerplate_removal": q_boilerplate_removal,
         "heavy_hitters": q_heavy_hitters,
+        "pmi_collocations": q_pmi_collocations,
+        "leakage_safe_split": q_leakage_safe_split,
         # ranked retrieval / web graph
         "bm25_topk": q_bm25_topk,
         "link_pagerank": q_link_pagerank,
@@ -1892,6 +1921,37 @@ def oracle_sql() -> dict[str, str]:
             "FROM (VALUES "
             + ", ".join(str(row) for row in _expected_audio_quants(20))
             + ") AS t(media_id, q0, q1, q2, q3) ORDER BY media_id"),
+        "pmi_collocations": (
+            "WITH toks AS (SELECT doc_id, list_filter("
+            "string_split_regex(lower(text), '[^a-z]+'), t -> t != '') "
+            "AS tk FROM documents), "
+            "pos AS (SELECT doc_id, unnest(tk) AS w, "
+            "generate_subscripts(tk, 1) AS i FROM toks), "
+            "uni AS (SELECT w, count(*) AS c FROM pos GROUP BY 1), "
+            "pairs AS (SELECT a.w AS w1, b.w AS w2, count(*) AS c_pair "
+            "FROM pos a JOIN pos b ON a.doc_id = b.doc_id AND "
+            "b.i = a.i + 1 GROUP BY 1, 2), "
+            "tot AS (SELECT CAST(sum(c_pair) AS BIGINT) AS t FROM pairs), "
+            "scored AS (SELECT w1, w2, c_pair, u1.c AS c1, u2.c AS c2, "
+            "CAST((CAST(c_pair AS HUGEINT) * t * 1000000) // "
+            "(CAST(u1.c AS HUGEINT) * u2.c) AS BIGINT) AS lift_ppm "
+            "FROM pairs JOIN uni u1 ON pairs.w1 = u1.w "
+            "JOIN uni u2 ON pairs.w2 = u2.w, tot WHERE c_pair >= 5) "
+            "SELECT CAST(row_number() OVER (ORDER BY lift_ppm DESC, "
+            "w1, w2) AS INT) AS rank, w1, w2, c_pair, c1, c2, lift_ppm "
+            "FROM scored ORDER BY lift_ppm DESC, w1, w2 LIMIT 20"),
+        "leakage_safe_split": (
+            "WITH d AS (SELECT doc_id, 'site' || CAST(doc_id % 101 AS "
+            "VARCHAR) AS domain FROM documents), "
+            "b AS (SELECT doc_id, domain, ('0x' || substr(md5("
+            "'split-v1|' || domain), 1, 15))::BIGINT % 1000000 AS bucket "
+            "FROM d), "
+            "s AS (SELECT domain, CASE WHEN bucket < 900000 THEN 'train' "
+            "WHEN bucket < 950000 THEN 'val' ELSE 'test' END AS split "
+            "FROM b) "
+            "SELECT split, count(*) AS n_docs, "
+            "count(DISTINCT domain) AS n_domains "
+            "FROM s GROUP BY 1 ORDER BY 1"),
         "bm25_topk": _bm25_oracle_sql(_BM25_QUERY_TERMS, k=10),
         "link_pagerank": _pagerank_oracle_sql(),
         "kmv_distinct_tokens": _kmv_distinct_oracle_sql(),
