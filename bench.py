@@ -567,13 +567,11 @@ def main() -> None:
 
     compact_scaling: dict = {}
     if scaling:
+        # counter fields come from the single source of truth in
+        # scripts/scaling_bench.py (loaded above as _sb)
         _lv_keys = ("cpus", "n_keys", "build_s", "build_keys_per_sec",
-                    "probe_s", "probe_keys_per_sec",
-                    "steal_cpu_s_during_best_build",
-                    "external_busy_cpu_s_during_best_build",
-                    "lost_cpu_s_during_best_build",
-                    "spin_mops_during_best_build",
-                    "mem_gbps_during_best_build")
+                    "probe_s", "probe_keys_per_sec"
+                    ) + tuple(_sb.BEST_BUILD_COUNTER_KEYS)
         compact_scaling = {
             k: v for k, v in scaling.items()
             if k not in ("levels", "retries", "calm_waits_s")}

@@ -17,6 +17,11 @@ ranking by the integer *lift* ``(c_ab * T * 1_000_000) div
 DECIMAL(38,0) / HUGEINT) yields the byte-identical order in Spark and
 any SQL oracle with 128-bit integers, with no cross-engine libm ulp
 risk.  The float PMI is trivially ``ln(lift_ppm / 1e6)`` downstream.
+The BIGINT quotient is exact up to ``T <= min_count * 2^63 / 1e6``
+bigrams (~46T tokens at the default min_count; c1, c2 >= c_pair
+bounds the lift by T*1e6/min_count) — beyond that the plan fails
+loudly via ``raise_error`` telling the caller to raise ``min_count``,
+rather than ANSI-aborting opaquely or NULL-dropping the top rows.
 
 Plan shape at 10^12 documents, three wide steps (stated honestly):
 
@@ -43,7 +48,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from fastfilter_spark.functions.text import word_tokens
+from fastfilter_spark.functions.text import token_ngrams, word_tokens
 
 __all__ = ["pmi_collocations"]
 
@@ -70,20 +75,19 @@ def pmi_collocations(docs: DataFrame, text_col: str = "text",
     if top_k < 1:
         raise ValueError("top_k must be >= 1")
 
-    toks = word_tokens(F.col(text_col))
-    grams = F.when(
-        F.size(toks) >= 2,
-        F.transform(F.sequence(F.lit(1), F.size(toks) - 1),
-                    lambda i: F.struct(
-                        F.element_at(toks, i).alias("w1"),
-                        F.element_at(toks, i + 1).alias("w2")))
-    ).otherwise(F.array().cast(
-        "array<struct<w1:string,w2:string>>"))
-
-    pair_counts = (docs.select(F.explode(grams).alias("g"))
-                   .select("g.w1", "g.w2")
-                   .groupBy("w1", "w2")
-                   .agg(F.count("*").alias("c_pair")))
+    # the same adjacent-gram extraction every other n-gram operator
+    # uses (functions/text.py token_ngrams); tokens are strictly
+    # [a-z]+, so splitting the space-joined gram back into (w1, w2)
+    # after the aggregate is lossless — and the split runs on the
+    # DISTINCT grams only, not the exploded stream
+    pair_counts = (docs.select(F.explode(
+                       token_ngrams(F.col(text_col), 2)).alias("g"))
+                   .groupBy("g")
+                   .agg(F.count("*").alias("c_pair"))
+                   .withColumn("_ws", F.split("g", " "))
+                   .select(F.element_at("_ws", 1).alias("w1"),
+                           F.element_at("_ws", 2).alias("w2"),
+                           "c_pair"))
     uni_counts = (docs.select(F.explode(word_tokens(F.col(text_col)))
                               .alias("w"))
                   .groupBy("w").agg(F.count("*").alias("c")))
@@ -98,12 +102,25 @@ def pmi_collocations(docs: DataFrame, text_col: str = "text",
                                       F.col("c").alias("c2")), "w2")
               .crossJoin(F.broadcast(total)))
     # DECIMAL(38,0): c_pair * T * 1e6 at web scale is ~1e12 * 1e15 *
-    # 1e6 = 1e33 < 1e38; the div floors exactly in both engines
+    # 1e6 = 1e33 < 1e38; the div floors exactly in both engines.  The
+    # QUOTIENT must fit BIGINT: a word occurs at least as often as any
+    # bigram containing it (c1, c2 >= c_pair), so
+    # lift <= T * LIFT_SCALE / min_count — the in-plan guard below
+    # fails LOUDLY when the corpus outgrows that exact-integer regime
+    # (T > min_count * 2^63/1e6 ≈ min_count * 9.2e12 bigrams; raising
+    # min_count buys linear headroom) instead of ANSI-aborting on an
+    # opaque overflow or, worse, NULLing out precisely the top-lift
+    # rows under non-ANSI sessions.
+    t_max = min_count * ((2 ** 63 - 1) // LIFT_SCALE)
     scored = joined.select(
         "w1", "w2", "c_pair", "c1", "c2",
-        F.expr(f"CAST(CAST(c_pair AS DECIMAL(38,0)) * _t "
+        F.expr(f"CASE WHEN _t > {t_max}L THEN "
+               f"CAST(raise_error('pmi_collocations: bigram total ' "
+               f"|| _t || ' exceeds the exact-BIGINT lift regime for "
+               f"min_count={min_count}; raise min_count') AS BIGINT) "
+               f"ELSE CAST(CAST(c_pair AS DECIMAL(38,0)) * _t "
                f"* {LIFT_SCALE} DIV (CAST(c1 AS DECIMAL(38,0)) * c2) "
-               "AS BIGINT)").alias("lift_ppm"))
+               "AS BIGINT) END").alias("lift_ppm"))
     order = [F.col("lift_ppm").desc(), F.col("w1").asc(),
              F.col("w2").asc()]
     top = scored.orderBy(*order).limit(top_k)

@@ -140,12 +140,15 @@ def pagerank(edges: DataFrame, src_col: str, dst_col: str,
     Common-Crawl-style corpus ranks its url nodes by link structure to
     prioritise crawl / weight training data.
 
-    ALL arithmetic is 64-bit integer — per-edge contribution is
-    ``rank div out_degree`` and the update is
-    ``((100-damping_pct)*scale) div 100 + (damping_pct*sum) div 100``
-    — so the result is bit-identical under ANY partitioning or
-    iteration order (long sums are associative+commutative; float
-    PageRank is famously not reproducible across partition counts).
+    ALL arithmetic is exact integer — per-edge contribution is
+    ``rank div out_degree`` (64-bit), and the contribution sum plus
+    the damping product ``(damping_pct*sum) div 100`` run in
+    DECIMAL(38,0) (a hub with ~1e8 full-rank in-links pushes the
+    pre-division product past 2^63 even though the final rank fits a
+    long) before the update lands back in BIGINT — so the result is
+    bit-identical under ANY partitioning or iteration order (integer
+    sums are associative+commutative; float PageRank is famously not
+    reproducible across partition counts).
     That makes the operator oracle-checkable by exact hash and its
     output stable across cluster sizes.  Rounding note: fixed-point
     truncation loses < 1 unit (1e-9) per edge per round vs exact

@@ -50,30 +50,40 @@ def split_column(group_col: Column,
                  salt: str = "split-v1") -> Column:
     """The split label as a pure Column expression (composable into
     any projection).  ``fractions`` maps label -> fraction; they must
-    sum to 1 within 1ppm.  Assignment: ``bucket =
-    portable_hash60(salt || '|' || group) % 1e6`` cut at cumulative
-    thresholds in the dict's insertion order."""
+    sum to 1 (at most 1ppm BELOW after ppm rounding — never above, so
+    the last label's remainder bucket can't be squeezed empty).
+    Assignment: ``bucket = portable_hash60(salt || '|' || group) %
+    1e6`` cut at cumulative thresholds in the dict's insertion order.
+
+    A NULL group yields a NULL label — silently hashing nulls would
+    drop every null-group row (IP-literal / unparseable urls are a
+    few percent of a web corpus) into ONE side wholesale.  Callers
+    decide: filter them, or pre-fill a real group key
+    (``coalesce(registered_domain(url), url)``)."""
     if not fractions:
         raise ValueError("fractions must be non-empty")
     ppm = {k: round(v * BUCKETS) for k, v in fractions.items()}
-    if abs(sum(ppm.values()) - BUCKETS) > 1:
+    if not 0 <= BUCKETS - sum(ppm.values()) <= 1:
         raise ValueError(
-            f"fractions must sum to 1 (got {sum(ppm.values())/BUCKETS})")
+            f"fractions must sum to 1, not above and at most 1ppm "
+            f"below after rounding (got {sum(ppm.values())/BUCKETS})")
     if any(v <= 0 for v in ppm.values()):
         raise ValueError("every fraction must be > 0")
+    # F.concat propagates NULL (concat_ws would silently skip it and
+    # hash the bare salt, collapsing all null groups into one bucket)
     bucket = portable_hash60(
-        F.concat_ws("|", F.lit(salt), group_col)) % BUCKETS
+        F.concat(F.lit(salt), F.lit("|"), group_col)) % BUCKETS
     labels = list(ppm)
-    expr, hi = None, 0
+    # NULL group first: a NULL bucket fails every `<` comparison and
+    # would otherwise silently take the `otherwise` label
+    expr, hi = F.when(group_col.isNull(),
+                      F.lit(None).cast("string")), 0
     # cut points accumulate in insertion order; the last label takes
     # the remainder so rounding never leaves an unlabeled bucket
     for lab in labels[:-1]:
         hi += ppm[lab]
-        cond = bucket < F.lit(hi)
-        expr = F.when(cond, lab) if expr is None else \
-            expr.when(cond, lab)
-    return (F.lit(labels[0]) if expr is None
-            else expr.otherwise(labels[-1]))
+        expr = expr.when(bucket < F.lit(hi), lab)
+    return expr.otherwise(labels[-1])
 
 
 def leakage_safe_split(df: DataFrame, group_col: str,

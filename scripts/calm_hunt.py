@@ -41,6 +41,9 @@ import time
 
 _REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, _REPO)
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from scaling_bench import BEST_BUILD_COUNTER_KEYS  # noqa: E402
 
 WORKLOCK = "/tmp/ff_worklock"
 PAIRLOCK = "/tmp/ff_pairlock"
@@ -168,10 +171,7 @@ def main() -> int:
                     f"vs max {spin_max}); skipping level 8")
                 refused("level-2 contamination gate", level2={
                     k: l2.get(k) for k in (
-                        "build_s", "steal_cpu_s_during_best_build",
-                        "external_busy_cpu_s_during_best_build",
-                        "lost_cpu_s_during_best_build",
-                        "spin_mops_during_best_build")})
+                        ("build_s",) + BEST_BUILD_COUNTER_KEYS)})
                 continue
             l8 = run_level(8, runs=8, env_extra=env_extra)
             if not l8:
@@ -210,12 +210,9 @@ def main() -> int:
             compact = {k: v for k, v in result.items() if k != "levels"}
             compact["levels"] = {
                 c: {k: lv[k] for k in (
-                    "build_s", "build_keys_per_sec", "probe_s",
-                    "probe_keys_per_sec", "steal_cpu_s_during_best_build",
-                    "external_busy_cpu_s_during_best_build",
-                    "lost_cpu_s_during_best_build",
-                    "spin_mops_during_best_build",
-                    "mem_gbps_during_best_build") if k in lv}
+                    ("build_s", "build_keys_per_sec", "probe_s",
+                     "probe_keys_per_sec") + BEST_BUILD_COUNTER_KEYS)
+                    if k in lv}
                 for c, lv in result["levels"].items()}
             compact["settled"] = {"2": settled(l2, spin_max),
                                   "8": settled(l8, spin_max)}

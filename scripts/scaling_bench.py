@@ -121,6 +121,19 @@ def _spin_mops(dur: float = 0.25) -> float:
     return n / (time.perf_counter() - t0) / 1e6
 
 
+# the contamination-counter fields a level's best build reports — the
+# ONE list bench.py and calm_hunt.py compose their compact artifact
+# views from (adding a counter here propagates to every consumer;
+# previously each site kept its own copy and a new counter meant three
+# lock-step edits)
+BEST_BUILD_COUNTER_KEYS = (
+    "steal_cpu_s_during_best_build",
+    "external_busy_cpu_s_during_best_build",
+    "lost_cpu_s_during_best_build",
+    "spin_mops_during_best_build",
+    "mem_gbps_during_best_build",
+)
+
 _MEM_BUFS = None
 
 

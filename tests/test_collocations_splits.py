@@ -26,7 +26,6 @@ def test_collocations_exact_counts_and_order(spark):
     tc = by_pair[("the", "cat")]
     assert (tc["c_pair"], tc["c1"], tc["c2"]) == (2, 2, 2)
     # lift = c_pair * T * 1e6 div (c1*c2); T = total bigram count
-    T = sum(max(len(t.lower().split()) - 0, 0) for t in [])  # computed below
     total = docs.select(F.explode(F.filter(
         F.split(F.lower("text"), r"[^a-z]+"), lambda x: x != ""))).count()
     # bigram total = token total - n_docs (each doc with >=1 token
@@ -105,3 +104,37 @@ def test_split_single_label_and_plan_is_projection(spark):
     assert out.where("split != 'all'").count() == 0
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan  # pure projection, zero shuffle
+
+
+def test_split_null_group_gets_null_label(spark):
+    rows = [(1, "a.com"), (2, None), (3, "b.com")]
+    df = spark.createDataFrame(rows, "id long, g string")
+    got = {r["id"]: r["split"] for r in
+           leakage_safe_split(df, "g").collect()}
+    assert got[2] is None
+    assert got[1] is not None and got[3] is not None
+
+
+def test_split_rounding_overage_rejected(spark):
+    df = spark.range(3).select(F.col("id").cast("string").alias("g"))
+    # ppm rounding sums to 1_000_001: the last label's bucket would be
+    # unreachable — must raise, not silently ship an empty split
+    with pytest.raises(ValueError, match="sum to 1"):
+        leakage_safe_split(df, "g", fractions={
+            "train": 0.999999, "val": 0.000001, "test": 0.000001})
+    # a 1ppm DEFICIT (1/3 three ways) is fine: last label absorbs it
+    out = leakage_safe_split(df, "g", fractions={
+        "a": 1 / 3, "b": 1 / 3, "c": 1 / 3})
+    assert out.where("split IS NULL").count() == 0
+
+
+def test_collocations_out_of_regime_corpus_fails_loudly(spark, monkeypatch):
+    import fastfilter_spark.operators.collocations as C
+    # shrink the exact-BIGINT regime so a toy corpus exceeds it
+    monkeypatch.setattr(C, "LIFT_SCALE", 2 ** 62)
+    docs = spark.createDataFrame(
+        [(i, "alpha beta gamma delta") for i in range(10)],
+        "doc_id long, text string")
+    with pytest.raises(Exception) as ei:
+        C.pmi_collocations(docs, min_count=2, top_k=5).collect()
+    assert "exceeds the exact-BIGINT lift regime" in str(ei.value)
