@@ -1292,6 +1292,33 @@ def _expected_audio_quants(n: int = 20, seed: int = 42,
     return out
 
 
+def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal as-of join: every purchase event matched to the same
+    user's latest click at-or-before it (one shuffle, no candidate
+    blowup — operators/asof.py), staleness in exact integer
+    microseconds (timestampdiff on NTZ operands, timezone-independent;
+    sessions.py precedent).  Unmatched rows surface as -1 so the hash
+    compares integers, never NaN renderings.  The oracle is DuckDB's
+    NATIVE ASOF LEFT JOIN — an independent implementation of the same
+    greatest-lower-bound semantics."""
+    from fastfilter_spark.operators.asof import asof_join
+    ev = _t(spark, sf_dir, "events")
+    purchases = (ev.where(F.col("event_type") == "purchase")
+                 .select("user_id", "ts",
+                         F.col("event_id").alias("purchase_id")))
+    clicks = (ev.where(F.col("event_type") == "click")
+              .select("user_id", "ts", "event_id"))
+    out = asof_join(purchases, clicks, "user_id", "ts", "ts",
+                    right_cols=["event_id"])
+    return (out.select(
+        "purchase_id",
+        F.coalesce(F.col("event_id_r"), F.lit(-1)).alias("click_id"),
+        F.coalesce(
+            F.expr("timestampdiff(MICROSECOND, ts_r, ts)"),
+            F.lit(-1)).cast("long").alias("staleness_us"))
+        .orderBy("purchase_id"))
+
+
 def q_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus collocations: top-20 word bigrams by PMI-ordered lift.
     Exact integer arithmetic end to end — lift_ppm = (c_pair * T *
@@ -1458,6 +1485,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "line_dedup": q_line_dedup,
         "boilerplate_removal": q_boilerplate_removal,
         "heavy_hitters": q_heavy_hitters,
+        "asof_join": q_asof_join,
         "pmi_collocations": q_pmi_collocations,
         "leakage_safe_split": q_leakage_safe_split,
         # ranked retrieval / web graph
@@ -1921,6 +1949,18 @@ def oracle_sql() -> dict[str, str]:
             "FROM (VALUES "
             + ", ".join(str(row) for row in _expected_audio_quants(20))
             + ") AS t(media_id, q0, q1, q2, q3) ORDER BY media_id"),
+        "asof_join": (
+            "WITH p AS (SELECT user_id, ts, event_id AS purchase_id "
+            "FROM events WHERE event_type = 'purchase'), "
+            "c AS (SELECT user_id, ts, max(event_id) AS click_id "
+            "FROM events WHERE event_type = 'click' GROUP BY 1, 2), "
+            "j AS (SELECT p.purchase_id, c.click_id, "
+            "date_diff('microsecond', c.ts, p.ts) AS st "
+            "FROM p ASOF LEFT JOIN c "
+            "ON p.user_id = c.user_id AND p.ts >= c.ts) "
+            "SELECT purchase_id, COALESCE(click_id, -1) AS click_id, "
+            "CAST(COALESCE(st, -1) AS BIGINT) AS staleness_us "
+            "FROM j ORDER BY purchase_id"),
         "pmi_collocations": (
             "WITH toks AS (SELECT doc_id, list_filter("
             "string_split_regex(lower(text), '[^a-z]+'), t -> t != '') "

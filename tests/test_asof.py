@@ -1,0 +1,99 @@
+"""asof_join: union+window greatest-lower-bound semantics."""
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from fastfilter_spark.operators.asof import asof_join
+
+
+def _ts(m):
+    return dt.datetime(2026, 1, 1, 0, m)
+
+
+@pytest.fixture()
+def sides(spark):
+    left = spark.createDataFrame(
+        [(1, _ts(5), "a"), (1, _ts(10), "b"), (1, _ts(2), "c"),
+         (2, _ts(7), "d"), (3, _ts(4), "e")],
+        "k long, t timestamp, lv string")
+    right = spark.createDataFrame(
+        [(1, _ts(3), 30), (1, _ts(5), 50), (1, _ts(9), 90),
+         (2, _ts(8), 80)],
+        "k long, rt timestamp, rv long")
+    return left, right
+
+
+def test_backward_inclusive_semantics(sides):
+    left, right = sides
+    got = {r["lv"]: (r["rt_r"], r["rv_r"])
+           for r in asof_join(left, right, "k", "t", "rt").collect()}
+    assert got["a"] == (_ts(5), 50)     # tie: inclusive, takes rt==t
+    assert got["b"] == (_ts(9), 90)     # newest at-or-before
+    assert got["c"] == (None, None)     # nothing before 00:02
+    assert got["d"] == (None, None)     # right row is AFTER left t
+    assert got["e"] == (None, None)     # key never on right side
+    assert len(got) == 5                # every left row survives
+
+
+def test_tolerance_nulls_stale_matches(sides):
+    left, right = sides
+    got = {r["lv"]: r["rv_r"]
+           for r in asof_join(left, right, "k", "t", "rt",
+                              tolerance=F.expr("INTERVAL 1 MINUTE"))
+           .collect()}
+    assert got["a"] == 50               # exact-time match, age 0
+    assert got["b"] == 90               # age 1 min == tolerance: kept
+    assert got["c"] is None
+
+
+def test_right_cols_subset_and_suffix(sides):
+    left, right = sides
+    out = asof_join(left, right, "k", "t", "rt",
+                    right_cols=["rv"], suffix="_x")
+    assert set(out.columns) == {"k", "t", "lv", "rt_x", "rv_x"}
+
+
+def test_collision_and_reserved_validation(sides):
+    left, right = sides
+    with pytest.raises(ValueError, match="collide"):
+        asof_join(left.withColumn("rv_r", F.lit(1)), right,
+                  "k", "t", "rt")
+    with pytest.raises(ValueError, match="reserved"):
+        asof_join(left.withColumn("_ff_asof_tag", F.lit(1)), right,
+                  "k", "t", "rt")
+
+
+def test_single_exchange_plan(sides):
+    left, right = sides
+    plan = (asof_join(left, right, "k", "t", "rt")
+            ._jdf.queryExecution().executedPlan().toString())
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_matches_duckdb_native_asof(spark):
+    import duckdb
+    import pandas as pd
+    rows_l = [(i % 7, _ts(i % 50), i) for i in range(300)]
+    rows_r = [(i % 5, _ts((i * 3) % 45), i * 10) for i in range(100)]
+    left = spark.createDataFrame(rows_l, "k long, t timestamp, lid long")
+    right = spark.createDataFrame(rows_r, "k long, rt timestamp, rv long")
+    got = (asof_join(left, right, "k", "t", "rt", right_cols=["rv"])
+           .orderBy("lid").toPandas())
+    con = duckdb.connect()
+    con.register("l", pd.DataFrame(rows_l, columns=["k", "t", "lid"]))
+    con.register("r", pd.DataFrame(rows_r, columns=["k", "rt", "rv"]))
+    # DuckDB ASOF keeps only ONE right row per left row (greatest
+    # rt <= t) but needs a deterministic rv when duplicate rt exist:
+    # collapse duplicates to max(rv) per (k, rt) first, matching the
+    # window's last-in-order tie resolution.
+    exp = con.execute(
+        "WITH rr AS (SELECT k, rt, max(rv) AS rv FROM r GROUP BY 1, 2) "
+        "SELECT l.k, l.t, l.lid, rr.rt AS rt_r, rr.rv AS rv_r "
+        "FROM l ASOF LEFT JOIN rr ON l.k = rr.k AND l.t >= rr.rt "
+        "ORDER BY lid").df()
+    a = got[["lid", "rt_r", "rv_r"]].reset_index(drop=True)
+    b = exp[["lid", "rt_r", "rv_r"]].reset_index(drop=True)
+    assert a["lid"].tolist() == b["lid"].tolist()
+    assert a["rv_r"].fillna(-1).tolist() == b["rv_r"].fillna(-1).tolist()
+    assert a["rt_r"].astype(str).tolist() == b["rt_r"].astype(str).tolist()
