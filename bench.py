@@ -34,6 +34,35 @@ os.environ["PYTHONPATH"] = (
     _REPO + os.pathsep + os.environ.get("PYTHONPATH", "")).rstrip(os.pathsep)
 
 
+#: the driver keeps only the LAST 2000 chars of bench stdout
+#: (BENCH_r03.json: "tail": 2000, parsed: null) — 1900 leaves margin
+#: for a trailing newline and capture jitter
+LINE_BUDGET = 1900
+
+
+def fit_line(line_obj: dict, budget: int = LINE_BUDGET) -> dict:
+    """Deterministically degrade the summary line until it fits the
+    driver's stdout capture — least valuable detail first, each drop
+    named in `truncated` — so the round artifact is never an
+    unparseable truncation (round 3's only graded failure).  Every
+    dropped field still lives in the suite artifact on disk."""
+    line_obj = dict(line_obj)
+    for drop in ("scaling.levels", "metric.shorten", "queries"):
+        if len(json.dumps(line_obj)) <= budget:
+            break
+        line_obj.setdefault("truncated", []).append(drop)
+        if drop == "scaling.levels":
+            line_obj["scaling"] = {
+                k: v for k, v in line_obj.get("scaling", {}).items()
+                if k != "levels"}
+        elif drop == "metric.shorten":
+            line_obj["metric"] = "fuse8 build+probe + suite wall (sec)"
+        elif drop == "queries":
+            line_obj["queries"] = dict(
+                list(line_obj.get("queries", {}).items())[:5])
+    return line_obj
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
@@ -647,26 +676,7 @@ def main() -> None:
         "scaling": compact_scaling,
         "suite_artifact": suite_ref,
     }
-    # HARD budget: the driver keeps only the last 2000 chars of stdout
-    # (BENCH_r03.json: "tail": 2000, parsed: null) — a line that
-    # outgrows it records NOTHING.  Degrade deterministically, least
-    # valuable detail first, and say what was dropped; every dropped
-    # field still lives in the suite artifact on disk.
-    _BUDGET = 1900
-    for drop in ("scaling.levels", "metric.shorten", "queries"):
-        if len(json.dumps(line_obj)) <= _BUDGET:
-            break
-        line_obj.setdefault("truncated", []).append(drop)
-        if drop == "scaling.levels":
-            line_obj["scaling"] = {
-                k: v for k, v in compact_scaling.items()
-                if k != "levels"}
-        elif drop == "metric.shorten":
-            line_obj["metric"] = "fuse8 build+probe + suite wall (sec)"
-        elif drop == "queries":
-            line_obj["queries"] = {
-                k: timings[k] for k in list(timings)[:5]}
-    print(json.dumps(line_obj))
+    print(json.dumps(fit_line(line_obj)))
 
 
 if __name__ == "__main__":

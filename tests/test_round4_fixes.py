@@ -255,3 +255,35 @@ def test_embedding_near_dup_dimension_mismatch_is_loud(spark):
     with _pytest.raises(Exception) as ei:
         embedding_near_dup(df, threshold=0.9).collect()
     assert "sampled dimension" in str(ei.value)
+
+
+def test_bench_fit_line_budget_ladder():
+    """The printed bench line must fit the driver's 2000-char stdout
+    capture; fit_line degrades deterministically and names each drop."""
+    import json
+    import sys
+    sys.path.insert(0, "/root/repo")
+    import bench
+
+    big_levels = {str(c): {"build_s": 1.0, "best_counters": "x" * 300}
+                  for c in (2, 8, 32)}
+    obj = {"metric": "m" * 100,
+           "queries": {f"q{i:02d}": 1.234 for i in range(30)},
+           "scaling": {"levels": big_levels,
+                       "build_efficiency_2_to_8": 0.84},
+           "value": 1.0}
+    # generous budget: untouched, no truncated marker
+    assert bench.fit_line(dict(obj), budget=10_000) == obj
+    # default-ish budget: levels drop first, efficiencies survive
+    out = bench.fit_line(dict(obj), budget=1000)
+    assert "levels" not in out["scaling"]
+    assert out["scaling"]["build_efficiency_2_to_8"] == 0.84
+    assert "scaling.levels" in out["truncated"]
+    assert len(json.dumps(out)) <= 1000
+    # brutal budget: queries shrink to 5, still valid JSON
+    out2 = bench.fit_line(dict(obj), budget=400)
+    assert len(out2["queries"]) == 5
+    assert out2["truncated"] == ["scaling.levels", "metric.shorten",
+                                 "queries"]
+    # the input object is not mutated
+    assert len(obj["queries"]) == 30 and "truncated" not in obj
