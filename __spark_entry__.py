@@ -1292,6 +1292,27 @@ def _expected_audio_quants(n: int = 20, seed: int = 42,
     return out
 
 
+def q_crawl_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frontier scheduling over the synthetic crawl urls, grouped per
+    worker shard: politeness waves by descending priority within each
+    host, hash-pinned workers, per-host quota 100.  The oracle derives
+    the host ANALYTICALLY from the url recipe (url_parsing precedent)
+    and replays wave/worker with its own window + md5 arithmetic."""
+    from fastfilter_spark.functions.urls import url_host
+    from fastfilter_spark.operators.frontier import crawl_frontier
+    o = _t(spark, sf_dir, "orders")
+    u = o.select(_synthetic_url(True).alias("url"),
+                 F.col("o_orderkey").alias("prio"))
+    u = u.withColumn("host", url_host(F.col("url")))
+    f = crawl_frontier(u, priority_col="prio", n_workers=16,
+                       max_per_domain=100, domain_col="host")
+    return (f.groupBy("worker")
+            .agg(F.count("*").alias("n_urls"),
+                 F.count_distinct("domain").alias("n_domains"),
+                 F.max("wave").alias("max_wave"))
+            .orderBy("worker"))
+
+
 def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Temporal as-of join: every purchase event matched to the same
     user's latest click at-or-before it (one shuffle, no candidate
@@ -1485,6 +1506,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "line_dedup": q_line_dedup,
         "boilerplate_removal": q_boilerplate_removal,
         "heavy_hitters": q_heavy_hitters,
+        "crawl_frontier": q_crawl_frontier,
         "asof_join": q_asof_join,
         "pmi_collocations": q_pmi_collocations,
         "leakage_safe_split": q_leakage_safe_split,
@@ -1949,6 +1971,20 @@ def oracle_sql() -> dict[str, str]:
             "FROM (VALUES "
             + ", ".join(str(row) for row in _expected_audio_quants(20))
             + ") AS t(media_id, q0, q1, q2, q3) ORDER BY media_id"),
+        "crawl_frontier": (
+            "WITH u AS (SELECT o_orderkey AS prio, "
+            "'sub' || CAST(o_custkey % 7 AS VARCHAR) || '.site' || "
+            "CAST(o_custkey % 100 AS VARCHAR) || "
+            "CASE o_custkey % 3 WHEN 0 THEN '.example.org' "
+            "WHEN 1 THEN '.example.com' ELSE '.example.net' END AS host "
+            "FROM orders), "
+            "r AS (SELECT host, row_number() OVER (PARTITION BY host "
+            "ORDER BY prio DESC) - 1 AS wave, "
+            "('0x' || substr(md5(host), 1, 15))::BIGINT % 16 AS worker "
+            "FROM u) "
+            "SELECT worker, count(*) AS n_urls, "
+            "count(DISTINCT host) AS n_domains, max(wave) AS max_wave "
+            "FROM r WHERE wave < 100 GROUP BY 1 ORDER BY 1"),
         "asof_join": (
             "WITH p AS (SELECT user_id, ts, event_id AS purchase_id "
             "FROM events WHERE event_type = 'purchase'), "
