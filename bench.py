@@ -49,18 +49,26 @@ def fit_line(line_obj: dict, budget: int = LINE_BUDGET) -> dict:
     line_obj = dict(line_obj)
     for drop in ("scaling.levels", "metric.shorten", "queries"):
         if len(json.dumps(line_obj)) <= budget:
-            break
+            return line_obj
         line_obj.setdefault("truncated", []).append(drop)
         if drop == "scaling.levels":
             line_obj["scaling"] = {
                 k: v for k, v in line_obj.get("scaling", {}).items()
                 if k != "levels"}
         elif drop == "metric.shorten":
-            line_obj["metric"] = "fuse8 build+probe + suite wall (sec)"
+            # derived from the real metric, not a second hardcoded copy
+            line_obj["metric"] = str(line_obj.get("metric", ""))[:40]
         elif drop == "queries":
             line_obj["queries"] = dict(
                 list(line_obj.get("queries", {}).items())[:5])
-    return line_obj
+    if len(json.dumps(line_obj)) <= budget:
+        return line_obj
+    # terminal fallback: a minimal-but-parseable line beats a truncated
+    # one under every circumstance (the failure mode this exists for)
+    keep = ("metric", "value", "unit", "sf", "truncated")
+    out = {k: line_obj[k] for k in keep if k in line_obj}
+    out.setdefault("truncated", []).append("minimal")
+    return out
 
 
 def main() -> None:
@@ -620,7 +628,12 @@ def main() -> None:
             # 2000-char budget
             and not k.endswith("_keys_per_sec")}
         if "north_rule_pair" in compact_scaling:
-            compact_scaling["north_rule_pair"] = "2->8 (N->4N)"
+            # derive the short form from the real value (no second
+            # hardcoded copy): "local[2] -> local[8] (N -> 4N)" ->
+            # "2 -> 8 (N -> 4N)"
+            compact_scaling["north_rule_pair"] = (
+                str(compact_scaling["north_rule_pair"])
+                .replace("local[", "").replace("]", ""))
         compact_scaling["levels"] = {
             c: {**{k: lv[k] for k in
                    ("build_s", "build_keys_per_sec",

@@ -74,8 +74,10 @@ def asof_join(left: DataFrame, right: DataFrame, on: str,
         raise ValueError(
             f"suffixed right columns {sorted(clash)} collide with left "
             f"columns; pass a different suffix")
-    if _TAG in left.columns or _TAG in right.columns:
-        raise ValueError(f"reserved column {_TAG!r} present in input")
+    for rc in (_TAG, "_ff_t", "_ff_payload", "_ff_m"):
+        if rc in left.columns or rc in right.columns:
+            raise ValueError(
+                f"reserved column {rc!r} present in input; rename it")
 
     # the carried payload travels as ONE struct so a single last_value
     # scan serves every carried column (N windows would re-sort N
@@ -90,20 +92,38 @@ def asof_join(left: DataFrame, right: DataFrame, on: str,
         F.lit(1).alias(_TAG),
         F.lit(None).cast(r.schema["_ff_payload"].dataType)
         .alias("_ff_payload"))
-    # align schemas: right rows carry nulls for the left columns
-    for c in left.columns:
-        if c != on:
-            r = r.withColumn(c, F.lit(None).cast(left.schema[c].dataType))
+    # align schemas in ONE projection (a per-column withColumn loop
+    # builds O(n) nested projections — quadratic analyzer cost on wide
+    # left schemas): right rows carry nulls for the left columns
+    r = r.select(
+        "*", *[F.lit(None).cast(left.schema[c].dataType).alias(c)
+               for c in left.columns if c != on])
     unioned = r.select(l_side.columns).unionByName(l_side)
 
     # payload as the final sort key: two right rows sharing (key, time)
     # would otherwise resolve by partition-scheduling luck — struct
     # ordering is lexicographic over the carried fields, so the
     # greatest payload wins deterministically (identical payloads are
-    # interchangeable)
+    # interchangeable).  MapType is not orderable in Spark: when any
+    # carried field contains a map, the tie-break is omitted and
+    # duplicate-(key, time) right rows resolve arbitrarily — exclude
+    # map columns via right_cols (or pre-collapse duplicates) when
+    # that determinism matters.
+    def _orderable(dt) -> bool:
+        from pyspark.sql.types import ArrayType, MapType, StructType
+        if isinstance(dt, MapType):
+            return False
+        if isinstance(dt, ArrayType):
+            return _orderable(dt.elementType)
+        if isinstance(dt, StructType):
+            return all(_orderable(f.dataType) for f in dt.fields)
+        return True
+
+    order = [F.col("_ff_t").asc(), F.col(_TAG).asc()]
+    if _orderable(r.schema["_ff_payload"].dataType):
+        order.append(F.col("_ff_payload").asc())
     w = (Window.partitionBy(on)
-         .orderBy(F.col("_ff_t").asc(), F.col(_TAG).asc(),
-                  F.col("_ff_payload").asc())
+         .orderBy(*order)
          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
     matched = (unioned
                .withColumn("_ff_m",

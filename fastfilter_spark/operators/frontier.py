@@ -56,7 +56,11 @@ def crawl_frontier(urls: DataFrame, url_col: str = "url",
     if max_per_domain is not None and max_per_domain < 1:
         raise ValueError("max_per_domain must be >= 1 (or None)")
     for c in ("domain", "wave", "worker"):
-        if c in urls.columns and not (c == "domain" and domain_col):
+        # a pre-existing 'domain' column is fine ONLY when it is the
+        # caller's designated grouping column (domain_col='domain') —
+        # any other pre-existing output column would be clobbered
+        if c in urls.columns and not (c == "domain"
+                                      and domain_col == "domain"):
             raise ValueError(f"output column {c!r} already exists")
 
     dom = (F.col(domain_col) if domain_col

@@ -97,3 +97,24 @@ def test_matches_duckdb_native_asof(spark):
     assert a["lid"].tolist() == b["lid"].tolist()
     assert a["rv_r"].fillna(-1).tolist() == b["rv_r"].fillna(-1).tolist()
     assert a["rt_r"].astype(str).tolist() == b["rt_r"].astype(str).tolist()
+
+
+def test_reserved_internal_columns_all_guarded(sides):
+    left, right = sides
+    for bad in ("_ff_t", "_ff_payload", "_ff_m"):
+        with pytest.raises(ValueError, match="reserved"):
+            asof_join(left.withColumn(bad, F.lit(1)), right,
+                      "k", "t", "rt")
+        with pytest.raises(ValueError, match="reserved"):
+            asof_join(left, right.withColumn(bad, F.lit(1)),
+                      "k", "t", "rt")
+
+
+def test_map_payload_supported_without_tiebreak(spark):
+    left = spark.createDataFrame(
+        [(1, _ts(5), "a")], "k long, t timestamp, lv string")
+    right = spark.createDataFrame(
+        [(1, _ts(3), {"ua": "deny"})],
+        "k long, rt timestamp, rules map<string,string>")
+    got = asof_join(left, right, "k", "t", "rt").collect()
+    assert got[0]["rules_r"] == {"ua": "deny"}

@@ -67,3 +67,14 @@ def test_domain_col_override(spark):
     got = {r["url"]: (r["domain"], r["wave"]) for r in out.collect()}
     assert got["u1"] == ("siteA", 0) and got["u2"] == ("siteA", 1)
     assert got["u3"] == ("siteB", 0)
+
+
+def test_existing_domain_column_not_clobbered(spark):
+    df = spark.createDataFrame(
+        [("u1", "siteA", "PRECIOUS")],
+        "url string, grp string, domain string")
+    with pytest.raises(ValueError, match="already exists"):
+        crawl_frontier(df, domain_col="grp")
+    # designating the existing column itself as the grouping key is fine
+    out = crawl_frontier(df.select("url", "domain"), domain_col="domain")
+    assert out.first()["domain"] == "PRECIOUS"

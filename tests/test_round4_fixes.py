@@ -285,5 +285,11 @@ def test_bench_fit_line_budget_ladder():
     assert len(out2["queries"]) == 5
     assert out2["truncated"] == ["scaling.levels", "metric.shorten",
                                  "queries"]
+    assert out2["metric"] == "m" * 40  # derived from the real metric
+    assert len(json.dumps(out2)) <= 400
+    # impossible budget: terminal fallback is minimal but PARSEABLE
+    out3 = bench.fit_line(dict(obj), budget=120)
+    assert "minimal" in out3["truncated"]
+    assert "queries" not in out3 and "scaling" not in out3
     # the input object is not mutated
     assert len(obj["queries"]) == 30 and "truncated" not in obj
