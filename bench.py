@@ -72,6 +72,34 @@ def fit_line(line_obj: dict, budget: int = LINE_BUDGET) -> dict:
 
 
 def main() -> None:
+    # hold the shared worklock for the whole bench: a live calm_hunt
+    # (scripts/calm_hunt.py) defers while it exists, so the round's
+    # bench measurement and a hunter pair attempt can never interleave
+    # and poison each other's counters
+    _worklock = "/tmp/ff_worklock"
+    _own_lock = not os.path.exists(_worklock)
+    if _own_lock:
+        try:
+            open(_worklock, "w").close()
+        except OSError:
+            _own_lock = False
+    # an already-FIRING pair holds /tmp/ff_pairlock for ~5-7 min; wait
+    # it out (bounded) rather than stomping its measurement
+    _t0 = time.time()
+    while (os.path.exists("/tmp/ff_pairlock")
+           and time.time() - _t0 < 600):
+        time.sleep(10)
+    try:
+        _main_inner()
+    finally:
+        if _own_lock:
+            try:
+                os.remove(_worklock)
+            except OSError:
+                pass
+
+
+def _main_inner() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     sf_label = sf_dir.rstrip("/").split("sf")[-1]
