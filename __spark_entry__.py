@@ -1292,6 +1292,54 @@ def _expected_audio_quants(n: int = 20, seed: int = 42,
     return out
 
 
+def q_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order clustering key over (o_custkey, o_orderkey % 997),
+    8 bits per column, aggregated per 4096-key curve tile — exact
+    integer Morton codes end to end (operators/layout.py), so the
+    oracle replays the identical bucket + bit-interleave arithmetic
+    with DuckDB's native bit operators."""
+    from fastfilter_spark.operators.layout import zorder_key
+    o = _t(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("x"),
+        (F.col("o_orderkey") % 997).alias("y"))
+    k = zorder_key(o, ["x", "y"], bits=8)
+    return (k.groupBy(F.expr("zkey div 4096").alias("tile"))
+            .agg(F.count("*").alias("n_rows"),
+                 F.count_distinct("zkey").alias("n_keys"),
+                 F.sum("zkey").alias("sum_zkey"),
+                 F.min("zkey").alias("min_zkey"),
+                 F.max("zkey").alias("max_zkey"))
+            .orderBy("tile"))
+
+
+def _zorder_oracle_sql(bits: int = 8) -> str:
+    """DuckDB replay of q_zorder_layout: same affine bucket codes,
+    same bit interleave (generated shift/AND terms)."""
+    hi = (1 << bits) - 1
+    terms = " + ".join(
+        f"(((c{ax} >> {b}) & 1) << {2 * b + i})"
+        for i, ax in enumerate(("x", "y")) for b in range(bits))
+    return (
+        "WITH src AS (SELECT o_custkey AS x, o_orderkey % 997 AS y "
+        "FROM orders), "
+        "st AS (SELECT min(x) AS mnx, max(x) AS mxx, min(y) AS mny, "
+        "max(y) AS mxy FROM src), "
+        "codes AS (SELECT "
+        f"CASE WHEN mxx = mnx THEN 0 ELSE CAST((CAST(x AS HUGEINT) - "
+        f"mnx) * {hi} // (CAST(mxx AS HUGEINT) - mnx) AS BIGINT) END "
+        "AS cx, "
+        f"CASE WHEN mxy = mny THEN 0 ELSE CAST((CAST(y AS HUGEINT) - "
+        f"mny) * {hi} // (CAST(mxy AS HUGEINT) - mny) AS BIGINT) END "
+        "AS cy FROM src, st), "
+        f"z AS (SELECT ({terms}) AS zkey FROM "
+        "(SELECT cx AS cx, cy AS cy FROM codes)) "
+        "SELECT zkey // 4096 AS tile, count(*) AS n_rows, "
+        "count(DISTINCT zkey) AS n_keys, "
+        "CAST(sum(zkey) AS BIGINT) AS sum_zkey, "
+        "min(zkey) AS min_zkey, max(zkey) AS max_zkey "
+        "FROM z GROUP BY 1 ORDER BY 1")
+
+
 def q_crawl_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Frontier scheduling over the synthetic crawl urls, grouped per
     worker shard: politeness waves by descending priority within each
@@ -1506,6 +1554,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "line_dedup": q_line_dedup,
         "boilerplate_removal": q_boilerplate_removal,
         "heavy_hitters": q_heavy_hitters,
+        "zorder_layout": q_zorder_layout,
         "crawl_frontier": q_crawl_frontier,
         "asof_join": q_asof_join,
         "pmi_collocations": q_pmi_collocations,
@@ -1971,6 +2020,7 @@ def oracle_sql() -> dict[str, str]:
             "FROM (VALUES "
             + ", ".join(str(row) for row in _expected_audio_quants(20))
             + ") AS t(media_id, q0, q1, q2, q3) ORDER BY media_id"),
+        "zorder_layout": _zorder_oracle_sql(),
         "crawl_frontier": (
             "WITH u AS (SELECT o_orderkey AS prio, "
             "'sub' || CAST(o_custkey % 7 AS VARCHAR) || '.site' || "

@@ -1,0 +1,77 @@
+"""zorder_key / zorder_cluster: exact Morton codes and the
+data-skipping property they exist for."""
+import pytest
+from pyspark.sql import functions as F
+
+from fastfilter_spark.operators.layout import zorder_cluster, zorder_key
+
+
+def _morton(a, b, bits):
+    out = 0
+    for i in range(bits):
+        out |= ((a >> i) & 1) << (2 * i)
+        out |= ((b >> i) & 1) << (2 * i + 1)
+    return out
+
+
+def test_zkey_matches_python_replay(spark):
+    rows = [(i, (i * 37) % 101) for i in range(101)]
+    df = spark.createDataFrame(rows, "x long, y long")
+    got = {(r["x"], r["y"]): r["zkey"]
+           for r in zorder_key(df, ["x", "y"], bits=7).collect()}
+    # min=0, max=100 for both columns; code = v*127 div 100
+    for (x, y), z in got.items():
+        assert z == _morton(x * 127 // 100, y * 127 // 100, 7)
+
+
+def test_null_and_degenerate_columns(spark):
+    df = spark.createDataFrame(
+        [(1, 5), (None, 5), (3, 5)], "x long, c long")
+    got = {r["x"]: r["zkey"]
+           for r in zorder_key(df, ["x", "c"], bits=4).collect()}
+    assert got[None] is None           # null x -> null zkey
+    # degenerate c (single value) buckets to 0 -> zkey from x alone;
+    # min=1 max=3 so x=1 -> code 0 -> zkey 0, x=3 -> code 15
+    assert got[1] == 0 and got[3] is not None and got[3] > 0
+
+
+def test_validation(spark):
+    df = spark.createDataFrame([(1, 2)], "x long, zkey long")
+    with pytest.raises(ValueError, match="already exists"):
+        zorder_key(df, ["x"])
+    with pytest.raises(ValueError, match="non-empty"):
+        zorder_key(df.select("x"), [])
+    with pytest.raises(ValueError, match="bits"):
+        zorder_key(df.select("x"), ["x"], bits=64)
+
+
+def test_cluster_tightens_per_partition_ranges_on_both_columns(spark):
+    # a grid: row-major layout makes y's per-partition range the FULL
+    # domain; the z-curve must shrink both columns' spans
+    n = 64
+    df = (spark.range(n * n)
+          .select((F.col("id") % n).alias("x"),
+                  (F.col("id") / n).cast("long").alias("y")))
+    parts = 16
+    clustered = zorder_cluster(df, ["x", "y"], bits=6,
+                               num_partitions=parts)
+    spans = (clustered.withColumn("p", F.spark_partition_id())
+             .groupBy("p")
+             .agg((F.max("x") - F.min("x")).alias("sx"),
+                  (F.max("y") - F.min("y")).alias("sy"))
+             .collect())
+    avg_sx = sum(r["sx"] for r in spans) / len(spans)
+    avg_sy = sum(r["sy"] for r in spans) / len(spans)
+    # 4096 rows into 16 partitions of ~256 = a 16x16 curve tile; give
+    # slack for range-partition boundary cuts
+    assert avg_sx < n / 2 and avg_sy < n / 2, (avg_sx, avg_sy)
+    # and the layout is lossless
+    assert clustered.count() == n * n
+
+
+def test_zkey_is_codegen_only(spark):
+    df = spark.range(100).select(F.col("id").alias("x"),
+                                 (F.col("id") * 3).alias("y"))
+    plan = (zorder_key(df, ["x", "y"])
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "EvalPython" not in plan     # no Python in the hot path
