@@ -132,7 +132,52 @@ BEST_BUILD_COUNTER_KEYS = (
     "lost_cpu_s_during_best_build",
     "spin_mops_during_best_build",
     "mem_gbps_during_best_build",
+    "sync_krps_during_best_build",
 )
+
+def _sync_worker(barrier, rounds):
+    for _ in range(rounds):
+        barrier.wait()
+
+
+def _sync_krps(rounds: int = 1500) -> float:
+    """Multi-process barrier-round rate (kilo-rounds/s) across THIS
+    process's allowed CPUs (capped at 8 workers): the sixth
+    contamination counter, INFORMATIONAL.
+
+    Why: the round-4 night misses ran the BUILD at ~0.73 efficiency
+    while the probe scaled at 0.97 on the same attempt — degradation
+    concentrated in the barrier/shuffle-heavy phase, which is the
+    signature of hypervisor vCPU co-scheduling latency under host
+    load: every stage boundary waits for all vCPUs to be scheduled
+    together, a cost that grows with parallelism and shows in NO
+    per-cpu counter (steal/busy/lost clean, spin at parity, bus
+    healthy).  A fixed-round barrier storm measures exactly that
+    co-scheduling latency.  Compare within one level across attempts
+    (the rate depends on the pinned core count, so cross-level
+    comparison is invalid); not part of settled()."""
+    import multiprocessing as mp
+    procs = min(8, len(os.sched_getaffinity(0)))
+    if procs < 2:
+        return 0.0
+    ctx = mp.get_context("fork")
+    barrier = ctx.Barrier(procs + 1)
+    ps = [ctx.Process(target=_sync_worker, args=(barrier, rounds))
+          for _ in range(procs)]
+    for p in ps:
+        p.start()
+    t0 = time.perf_counter()
+    try:
+        for _ in range(rounds):
+            barrier.wait()
+        dt = time.perf_counter() - t0
+    finally:
+        for p in ps:
+            p.join(timeout=30)
+            if p.is_alive():
+                p.terminate()
+    return rounds / dt / 1e3
+
 
 _MEM_BUFS = None
 
@@ -254,7 +299,7 @@ def run_level(cpus: int) -> dict:
     # storm that poisons all N scheduled runs otherwise decides the
     # level (and the round's efficiency figure) by itself.
     best_build, steal_s, ext_s, lost_s = float("inf"), 0.0, 0.0, 0.0
-    spin_best, mem_best = 0.0, 0.0
+    spin_best, mem_best, sync_best = 0.0, 0.0, 0.0
     build_runs: list[dict] = []
     sf = None
     # wall-clock cap on the timed-run loop: in a calm window RUNS runs
@@ -271,6 +316,7 @@ def run_level(cpus: int) -> dict:
             break
         runs_left -= 1
         mem_pre = _mem_gbps()
+        sync_pre = _sync_krps()
         spin_pre = _spin_mops()
         s0 = steal_jiffies()
         b0, tr0, j0 = _busy_jiffies(), _tree_jiffies(), _total_jiffies()
@@ -284,14 +330,16 @@ def run_level(cpus: int) -> dict:
         lost = _lost_cpu_s(dt, _total_jiffies() - j0)
         spin = min(spin_pre, _spin_mops())   # worse of the two brackets
         mem = min(mem_pre, _mem_gbps())      # worse of the two brackets
+        sync = min(sync_pre, _sync_krps())   # worse of the two brackets
         build_runs.append({"s": round(dt, 3), "steal_cpu_s": round(st, 1),
                            "external_busy_cpu_s": round(ext, 1),
                            "lost_cpu_s": round(lost, 1),
                            "spin_mops": round(spin, 2),
-                           "mem_gbps": round(mem, 1)})
+                           "mem_gbps": round(mem, 1),
+                           "sync_krps": round(sync, 2)})
         if dt < best_build:
             best_build, steal_s, ext_s, lost_s = dt, st, ext, lost
-            spin_best, mem_best = spin, mem
+            spin_best, mem_best, sync_best = spin, mem, sync
         if runs_left == 0 and extras_left > 0 and (
                 steal_s > 2
                 # best run's bracketing spin probes ran >15% below the
@@ -344,6 +392,7 @@ def run_level(cpus: int) -> dict:
         "lost_cpu_s_during_best_build": round(lost_s, 1),
         "spin_mops_during_best_build": round(spin_best, 2),
         "mem_gbps_during_best_build": round(mem_best, 1),
+        "sync_krps_during_best_build": round(sync_best, 2),
         "build_runs": build_runs,
         "probe_runs_s": probe_runs,
         "level_wall_s": round(lvl_wall, 1),
