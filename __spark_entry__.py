@@ -1292,6 +1292,23 @@ def _expected_audio_quants(n: int = 20, seed: int = 42,
     return out
 
 
+def q_corpus_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot diff between two synthetic crawl versions of the
+    documents table (drop different id slices per side, mutate every
+    7th text): added/removed/changed/unchanged counts via one
+    full-outer join of (id, md5) projections — the text never
+    shuffles (operators/diff.py)."""
+    from fastfilter_spark.operators.diff import diff_counts
+    docs = _t(spark, sf_dir, "documents")
+    old = docs.where(F.col("doc_id") % 13 != 0)
+    new = (docs.where(F.col("doc_id") % 11 != 0)
+           .withColumn("text",
+                       F.when(F.col("doc_id") % 7 == 0,
+                              F.concat(F.col("text"), F.lit("!")))
+                       .otherwise(F.col("text"))))
+    return diff_counts(old, new, "doc_id")
+
+
 def q_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Z-order clustering key over (o_custkey, o_orderkey % 997),
     8 bits per column, aggregated per 4096-key curve tile — exact
@@ -1554,6 +1571,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "line_dedup": q_line_dedup,
         "boilerplate_removal": q_boilerplate_removal,
         "heavy_hitters": q_heavy_hitters,
+        "corpus_diff": q_corpus_diff,
         "zorder_layout": q_zorder_layout,
         "crawl_frontier": q_crawl_frontier,
         "asof_join": q_asof_join,
@@ -2020,6 +2038,18 @@ def oracle_sql() -> dict[str, str]:
             "FROM (VALUES "
             + ", ".join(str(row) for row in _expected_audio_quants(20))
             + ") AS t(media_id, q0, q1, q2, q3) ORDER BY media_id"),
+        "corpus_diff": (
+            "WITH o AS (SELECT doc_id, md5(text) AS f FROM documents "
+            "WHERE doc_id % 13 != 0), "
+            "n AS (SELECT doc_id, md5(CASE WHEN doc_id % 7 = 0 THEN "
+            "text || '!' ELSE text END) AS f FROM documents "
+            "WHERE doc_id % 11 != 0), "
+            "j AS (SELECT o.f AS fo, n.f AS fn FROM o "
+            "FULL OUTER JOIN n ON o.doc_id = n.doc_id) "
+            "SELECT CASE WHEN fo IS NULL THEN 'added' "
+            "WHEN fn IS NULL THEN 'removed' "
+            "WHEN fo = fn THEN 'unchanged' ELSE 'changed' END AS status, "
+            "count(*) AS n FROM j GROUP BY 1 ORDER BY 1"),
         "zorder_layout": _zorder_oracle_sql(),
         "crawl_frontier": (
             "WITH u AS (SELECT o_orderkey AS prio, "
