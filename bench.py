@@ -287,6 +287,25 @@ def _main_inner() -> None:
           lambda: minhash_dedup_pairs(docs, threshold=0.8,
                                       n_hashes=64).count())
 
+    # 5b. round-4 pipeline operators (documents/orders inputs)
+    from fastfilter_spark.operators.asof import asof_join
+    from fastfilter_spark.operators.layout import zorder_key
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    purch = (ev.where(F.col("event_type") == "purchase")
+             .select("user_id", "ts", "event_id"))
+    clicks = (ev.where(F.col("event_type") == "click")
+              .select("user_id", F.col("ts").alias("rt"),
+                      F.col("event_id").alias("cid")))
+    timed("asof_join",
+          lambda: asof_join(purch, clicks, "user_id", "ts", "rt",
+                            right_cols=["cid"]).count())
+    orders_df = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    timed("zorder_key",
+          lambda: zorder_key(
+              orders_df.select("o_custkey", "o_orderkey"),
+              ["o_custkey", "o_orderkey"], bits=8)
+          .agg(F.max("zkey")).collect())
+
     # 6. ANN over embeddings
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     qvec = list(emb.limit(1).collect()[0]["embedding"])
