@@ -77,6 +77,15 @@ def main() -> None:
     # bench measurement and a hunter pair attempt can never interleave
     # and poison each other's counters
     _worklock = "/tmp/ff_worklock"
+    # a lock older than 2h is a leftover from a killed run (the
+    # creator's finally never fired) — holding it forever would
+    # silently disable the calm hunter's whole window
+    try:
+        if (os.path.exists(_worklock)
+                and time.time() - os.path.getmtime(_worklock) > 7200):
+            os.remove(_worklock)
+    except OSError:
+        pass
     _own_lock = not os.path.exists(_worklock)
     if _own_lock:
         try:
@@ -663,7 +672,8 @@ def _main_inner() -> None:
                      "external_busy_cpu_s_during_best_build": "ext",
                      "lost_cpu_s_during_best_build": "lost",
                      "spin_mops_during_best_build": "spin",
-                     "mem_gbps_during_best_build": "mem"}
+                     "mem_gbps_during_best_build": "mem",
+                     "sync_krps_during_best_build": "sync"}
             return " ".join(
                 f"{short.get(k, k)}={lv[k]}"
                 for k in _sb.BEST_BUILD_COUNTER_KEYS if k in lv)

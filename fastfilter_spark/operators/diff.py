@@ -44,12 +44,18 @@ def corpus_diff(old: DataFrame, new: DataFrame, id_col: str,
     """
     fp = (fingerprint if fingerprint is not None
           else doc_fingerprint(F.col(text_col)))
-    o = old.select(F.col(id_col), fp.alias("_ff_fp_old"))
-    n = new.select(F.col(id_col), fp.alias("_ff_fp_new"))
+    # presence is tagged with a literal, NOT inferred from fingerprint
+    # nullness: a null-text document has a null md5, and treating that
+    # as "row absent" would misclassify it (present-both-sides-null ->
+    # 'added'); eqNullSafe makes two null fingerprints compare equal
+    o = old.select(F.col(id_col), fp.alias("_ff_fp_old"),
+                   F.lit(1).alias("_ff_in_old"))
+    n = new.select(F.col(id_col), fp.alias("_ff_fp_new"),
+                   F.lit(1).alias("_ff_in_new"))
     joined = o.join(n, id_col, "full_outer")
-    status = (F.when(F.col("_ff_fp_old").isNull(), "added")
-              .when(F.col("_ff_fp_new").isNull(), "removed")
-              .when(F.col("_ff_fp_old") == F.col("_ff_fp_new"),
+    status = (F.when(F.col("_ff_in_old").isNull(), "added")
+              .when(F.col("_ff_in_new").isNull(), "removed")
+              .when(F.col("_ff_fp_old").eqNullSafe(F.col("_ff_fp_new")),
                     "unchanged")
               .otherwise("changed"))
     return joined.select(F.col(id_col), status.alias("status"))

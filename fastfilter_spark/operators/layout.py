@@ -66,26 +66,43 @@ def zorder_key(df: DataFrame, cols: list[str],
             f"bits * len(cols) must be in [1, 63], got {bits * len(cols)}")
     if "zkey" in df.columns:
         raise ValueError("output column 'zkey' already exists")
+    # helper aliases are POSITIONAL (_ff_min_0, not _ff_min_<name>) so
+    # arbitrary column names (dashes, dots) can't misparse the
+    # generated SQL; any caller column in the _ff_ namespace would
+    # still collide with them, so it is reserved (asof.py convention)
+    for c in df.columns:
+        if c.startswith("_ff_"):
+            raise ValueError(
+                f"column {c!r} uses the reserved _ff_ prefix; rename it")
     hi = (1 << bits) - 1
-    stats = df.agg(*[f(c).alias(f"_ff_{n}_{c}")
-                     for c in cols
+    # backtick-quoted references resolve names literally (F.col('c.d')
+    # and df['c.d'] both parse the dot as struct access); a backtick
+    # inside the name itself escapes by doubling
+    def _q(name: str) -> str:
+        return "`" + name.replace("`", "``") + "`"
+
+    stats = df.agg(*[f(F.expr(_q(c))).alias(f"_ff_{n}_{i}")
+                     for i, c in enumerate(cols)
                      for n, f in (("min", F.min), ("max", F.max))])
     out = df.crossJoin(F.broadcast(stats))
     code_names = []
-    for c in cols:
-        mn, mx = f"_ff_min_{c}", f"_ff_max_{c}"
-        code = f"_ff_code_{c}"
+    for i, c in enumerate(cols):
+        mn, mx = f"_ff_min_{i}", f"_ff_max_{i}"
+        code = f"_ff_code_{i}"
         code_names.append(code)
+        # null value -> null code (checked FIRST: the degenerate
+        # max=min arm must not swallow nulls into bucket 0);
         # degenerate single-value columns bucket to 0; DECIMAL(38,0)
         # keeps (x-min)*(2^bits-1) exact for any BIGINT range
         out = out.withColumn(code, F.expr(
-            f"CASE WHEN {mx} = {mn} THEN 0L ELSE "
-            f"(CAST(`{c}` AS DECIMAL(38,0)) - {mn}) * {hi} "
+            f"CASE WHEN {_q(c)} IS NULL THEN NULL "
+            f"WHEN {mx} = {mn} THEN 0L ELSE "
+            f"(CAST({_q(c)} AS DECIMAL(38,0)) - {mn}) * {hi} "
             f"DIV (CAST({mx} AS DECIMAL(38,0)) - {mn}) END"))
     out = out.withColumn(
         "zkey", F.expr(_interleave_expr(code_names, bits)).cast("long"))
     return out.drop(*code_names,
-                    *[f"_ff_{n}_{c}" for c in cols
+                    *[f"_ff_{n}_{i}" for i in range(len(cols))
                       for n in ("min", "max")])
 
 

@@ -157,26 +157,34 @@ def _sync_krps(rounds: int = 1500) -> float:
     (the rate depends on the pinned core count, so cross-level
     comparison is invalid); not part of settled()."""
     import multiprocessing as mp
-    procs = min(8, len(os.sched_getaffinity(0)))
-    if procs < 2:
-        return 0.0
-    ctx = mp.get_context("fork")
-    barrier = ctx.Barrier(procs + 1)
-    ps = [ctx.Process(target=_sync_worker, args=(barrier, rounds))
-          for _ in range(procs)]
-    for p in ps:
-        p.start()
-    t0 = time.perf_counter()
     try:
-        for _ in range(rounds):
-            barrier.wait()
-        dt = time.perf_counter() - t0
-    finally:
+        procs = min(8, len(os.sched_getaffinity(0)))
+        if procs < 2:
+            return 0.0
+        ctx = mp.get_context("fork")
+        barrier = ctx.Barrier(procs + 1)
+        ps = [ctx.Process(target=_sync_worker, args=(barrier, rounds))
+              for _ in range(procs)]
         for p in ps:
-            p.join(timeout=30)
-            if p.is_alive():
-                p.terminate()
-    return rounds / dt / 1e3
+            p.start()
+        t0 = time.perf_counter()
+        try:
+            # per-round timeout: a worker dying without breaking the
+            # barrier (OOM kill) must not hang the unattended bench —
+            # BrokenBarrierError falls through to the except below
+            for _ in range(rounds):
+                barrier.wait(timeout=5)
+            dt = time.perf_counter() - t0
+        finally:
+            for p in ps:
+                p.join(timeout=10)
+                if p.is_alive():
+                    p.terminate()
+        return rounds / dt / 1e3
+    except Exception:
+        # an INFORMATIONAL counter must never abort or hang the level
+        # measurement it decorates; 0.0 marks "probe unavailable"
+        return 0.0
 
 
 _MEM_BUFS = None

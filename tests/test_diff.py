@@ -50,3 +50,17 @@ def test_empty_sides(spark):
     assert [(r["doc_id"], r["status"]) for r in
             corpus_diff(old, new, "doc_id").collect()] == [(1, "added")]
     assert corpus_diff(old, old, "doc_id").count() == 0
+
+
+def test_null_text_documents_classified_by_presence(spark):
+    # null text => null fingerprint; presence must come from the row,
+    # not the fingerprint
+    old = spark.createDataFrame(
+        [(1, None), (2, None), (3, "x")], "doc_id long, text string")
+    new = spark.createDataFrame(
+        [(1, None), (3, None)], "doc_id long, text string")
+    got = {r["doc_id"]: r["status"]
+           for r in corpus_diff(old, new, "doc_id").collect()}
+    assert got == {1: "unchanged",   # null == null content, both sides
+                   2: "removed",     # only in old, despite null md5
+                   3: "changed"}     # text -> null IS a content change

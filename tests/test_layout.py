@@ -75,3 +75,22 @@ def test_zkey_is_codegen_only(spark):
     plan = (zorder_key(df, ["x", "y"])
             ._jdf.queryExecution().executedPlan().toString())
     assert "EvalPython" not in plan     # no Python in the hot path
+
+
+def test_null_in_degenerate_column_still_nulls_zkey(spark):
+    # the degenerate (max=min) arm must not swallow nulls into bucket 0
+    df = spark.createDataFrame(
+        [(1, 5), (2, None)], "x long, c long")
+    got = {r["x"]: r["zkey"]
+           for r in zorder_key(df, ["x", "c"], bits=4).collect()}
+    assert got[2] is None and got[1] is not None
+
+
+def test_reserved_prefix_and_odd_column_names(spark):
+    df = spark.createDataFrame([(1, 2)], "x long, _ff_code_0 long")
+    with pytest.raises(ValueError, match="reserved"):
+        zorder_key(df, ["x"])
+    odd = spark.createDataFrame([(1, 2), (9, 8)],
+                                ["a-b", "c.d"])
+    got = zorder_key(odd, ["a-b", "c.d"], bits=4).collect()
+    assert {r["zkey"] for r in got} == {0, 255}
