@@ -1309,6 +1309,37 @@ def q_corpus_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     return diff_counts(old, new, "doc_id")
 
 
+def q_incremental_update(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental corpus update driven by the snapshot diff: quality
+    filtering runs ONLY on added+changed documents, unchanged rows
+    carry the previous run's verdict forward (left-semi joins on the
+    diff), removed rows drop out.  The ORACLE is the full recompute
+    over the new snapshot — the hash match proves the incremental
+    path is equivalent, which is the invariant incremental pipelines
+    rely on."""
+    from fastfilter_spark.operators.diff import corpus_diff
+    docs = _t(spark, sf_dir, "documents")
+    old = docs.where(F.col("doc_id") % 13 != 0)
+    new = (docs.where(F.col("doc_id") % 11 != 0)
+           .withColumn("text",
+                       F.when(F.col("doc_id") % 7 == 0,
+                              F.concat(F.col("text"), F.lit("!")))
+                       .otherwise(F.col("text"))))
+    diff = corpus_diff(old, new, "doc_id")
+    keep = F.length("text") >= 200
+    fresh = (new.join(diff.where(F.col("status").isin("added", "changed"))
+                      .select("doc_id"), "doc_id", "left_semi")
+             .where(keep))
+    carried = (old.join(diff.where(F.col("status") == "unchanged")
+                        .select("doc_id"), "doc_id", "left_semi")
+               .where(keep))
+    return (fresh.unionByName(carried)
+            .groupBy("lang")
+            .agg(F.count("*").alias("n_kept"),
+                 F.sum(F.length("text")).cast("long").alias("sum_chars"))
+            .orderBy("lang"))
+
+
 def q_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Z-order clustering key over (o_custkey, o_orderkey % 997),
     8 bits per column, aggregated per 4096-key curve tile — exact
@@ -1572,6 +1603,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "boilerplate_removal": q_boilerplate_removal,
         "heavy_hitters": q_heavy_hitters,
         "corpus_diff": q_corpus_diff,
+        "incremental_update": q_incremental_update,
         "zorder_layout": q_zorder_layout,
         "crawl_frontier": q_crawl_frontier,
         "asof_join": q_asof_join,
@@ -2050,6 +2082,16 @@ def oracle_sql() -> dict[str, str]:
             "WHEN fn IS NULL THEN 'removed' "
             "WHEN fo = fn THEN 'unchanged' ELSE 'changed' END AS status, "
             "count(*) AS n FROM j GROUP BY 1 ORDER BY 1"),
+        "incremental_update": (
+            # full recompute over the new snapshot: equals the
+            # incremental diff-driven path by the carried-verdict
+            # invariant (unchanged rows are byte-identical)
+            "SELECT lang, count(*) AS n_kept, "
+            "CAST(sum(length(text)) AS BIGINT) AS sum_chars FROM ("
+            "SELECT lang, CASE WHEN doc_id % 7 = 0 THEN text || '!' "
+            "ELSE text END AS text FROM documents "
+            "WHERE doc_id % 11 != 0) WHERE length(text) >= 200 "
+            "GROUP BY lang ORDER BY lang"),
         "zorder_layout": _zorder_oracle_sql(),
         "crawl_frontier": (
             "WITH u AS (SELECT o_orderkey AS prio, "
