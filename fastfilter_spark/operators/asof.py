@@ -46,6 +46,14 @@ __all__ = ["asof_join"]
 _TAG = "_ff_asof_tag"
 
 
+def _q(name: str):
+    """Literal column reference: F.col('meta.v') parses the dot as
+    struct access (layout.py precedent); backticks resolve verbatim,
+    with inner backticks escaped by doubling."""
+    from pyspark.sql import functions as F
+    return F.expr("`" + name.replace("`", "``") + "`")
+
+
 def asof_join(left: DataFrame, right: DataFrame, on: str,
               left_time: str, right_time: str,
               right_cols: list[str] | None = None,
@@ -83,12 +91,17 @@ def asof_join(left: DataFrame, right: DataFrame, on: str,
     # scan serves every carried column (N windows would re-sort N
     # times); left rows contribute a null struct, which ignoreNulls
     # skips
-    payload = F.struct(*[F.col(c) for c in carried]).alias("_ff_payload")
-    r = right.select(
-        F.col(on), F.col(right_time).alias("_ff_t"),
+    payload = F.struct(*[_q(c).alias(c) for c in carried]).alias("_ff_payload")
+    # a right row with NO timestamp can never satisfy rt <= t (SQL
+    # comparison semantics; DuckDB's native ASOF agrees) — but a NULL
+    # would sort FIRST in the window and be carried into every later
+    # row, so it must be dropped, not sorted.  A null-time LEFT row
+    # sorts first and therefore matches nothing: null columns out.
+    r = right.where(_q(right_time).isNotNull()).select(
+        _q(on).alias(on), _q(right_time).alias("_ff_t"),
         F.lit(0).alias(_TAG), payload)
     l_side = left.select(
-        "*", F.col(left_time).alias("_ff_t"),
+        "*", _q(left_time).alias("_ff_t"),
         F.lit(1).alias(_TAG),
         F.lit(None).cast(r.schema["_ff_payload"].dataType)
         .alias("_ff_payload"))
@@ -122,18 +135,21 @@ def asof_join(left: DataFrame, right: DataFrame, on: str,
     order = [F.col("_ff_t").asc(), F.col(_TAG).asc()]
     if _orderable(r.schema["_ff_payload"].dataType):
         order.append(F.col("_ff_payload").asc())
-    w = (Window.partitionBy(on)
+    w = (Window.partitionBy(_q(on))
          .orderBy(*order)
          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
     matched = (unioned
                .withColumn("_ff_m",
                            F.last("_ff_payload", ignorenulls=True).over(w))
                .where(F.col(_TAG) == 1))
+    # getField resolves names literally — F.col("_ff_m.meta.ts") would
+    # parse the dots as nested struct access (layout.py precedent)
     if tolerance is not None:
         matched = matched.withColumn(
             "_ff_m",
-            F.when(F.col(f"_ff_m.{right_time}")
-                   >= F.col(left_time) - tolerance, F.col("_ff_m")))
+            F.when(F.col("_ff_m").getField(right_time)
+                   >= _q(left_time) - tolerance, F.col("_ff_m")))
     return matched.select(
         *left.columns,
-        *[F.col(f"_ff_m.{c}").alias(out_names[c]) for c in carried])
+        *[F.col("_ff_m").getField(c).alias(out_names[c])
+          for c in carried])

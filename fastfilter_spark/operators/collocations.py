@@ -91,8 +91,13 @@ def pmi_collocations(docs: DataFrame, text_col: str = "text",
     uni_counts = (docs.select(F.explode(word_tokens(F.col(text_col)))
                               .alias("w"))
                   .groupBy("w").agg(F.count("*").alias("c")))
-    total = pair_counts.agg(
-        F.sum("c_pair").cast("long").alias("_t"))
+    # T (corpus bigram total) from a NARROW scan — sum of per-doc gram
+    # counts needs no explode and no gram shuffle.  Deriving it from
+    # pair_counts.agg(sum) would execute the corpus-wide explode +
+    # hash-aggregate subtree a second time (two uncached consumers).
+    total = docs.agg(
+        F.sum(F.size(token_ngrams(F.col(text_col), 2)))
+        .cast("long").alias("_t"))
 
     candidates = pair_counts.where(F.col("c_pair") >= min_count)
     joined = (candidates
@@ -111,7 +116,13 @@ def pmi_collocations(docs: DataFrame, text_col: str = "text",
     # min_count buys linear headroom) instead of ANSI-aborting on an
     # opaque overflow or, worse, NULLing out precisely the top-lift
     # rows under non-ANSI sessions.
-    t_max = min_count * ((2 ** 63 - 1) // LIFT_SCALE)
+    # the guard must bound BOTH failure modes: the BIGINT quotient
+    # (<= T*SCALE/min_count) AND the DECIMAL(38,0) product
+    # c_pair*T*SCALE <= T^2*SCALE (c_pair <= T) — for very large
+    # min_count the product bound binds first
+    import math
+    t_max = min(min_count * ((2 ** 63 - 1) // LIFT_SCALE),
+                math.isqrt((10 ** 38 - 1) // LIFT_SCALE))
     scored = joined.select(
         "w1", "w2", "c_pair", "c1", "c2",
         F.expr(f"CASE WHEN _t > {t_max}L THEN "

@@ -38,12 +38,17 @@ def corpus_diff(old: DataFrame, new: DataFrame, id_col: str,
 
     ``fingerprint`` overrides the content-identity expression (e.g. a
     struct hash over several columns); it is evaluated against each
-    side's columns.  Ids must be unique within each snapshot — the
-    classifier's contract (enforce upstream with exact_dedup; a
-    duplicated id would cross-join its rows here).
+    side's columns.  Ids must be NON-NULL and unique within each
+    snapshot — the classifier's contract (enforce upstream with
+    exact_dedup; a duplicated id would cross-join its rows here, and
+    a null id can never join so it would double-report as one
+    'removed' plus one 'added').  Null-id rows are excluded from both
+    sides: a row without identity cannot be diffed.
     """
     fp = (fingerprint if fingerprint is not None
           else doc_fingerprint(F.col(text_col)))
+    old = old.where(F.col(id_col).isNotNull())
+    new = new.where(F.col(id_col).isNotNull())
     # presence is tagged with a literal, NOT inferred from fingerprint
     # nullness: a null-text document has a null md5, and treating that
     # as "row absent" would misclassify it (present-both-sides-null ->

@@ -69,11 +69,21 @@ def crawl_frontier(urls: DataFrame, url_col: str = "url",
         + [F.col(url_col).asc()]
     with_dom = urls.withColumn("domain", dom)
     w = Window.partitionBy("domain").orderBy(*order)
+    # a NULL domain (null url / null domain_col) cannot be scheduled —
+    # it has no rate-limit identity — so its rows get NULL wave/worker
+    # (splits.py convention: surface, don't silently lump all null
+    # domains into one politeness sequence on one phantom worker);
+    # callers filter or pre-fill
     out = (with_dom
-           .withColumn("wave", (F.row_number().over(w) - 1).cast("long"))
+           .withColumn("wave",
+                       F.when(F.col("domain").isNotNull(),
+                              (F.row_number().over(w) - 1).cast("long")))
            .withColumn("worker",
                        F.pmod(portable_hash60(F.col("domain")),
                               F.lit(n_workers)).cast("long")))
     if max_per_domain is not None:
-        out = out.where(F.col("wave") < max_per_domain)
+        # null-wave (null-domain) rows pass through the quota — they
+        # are unscheduled, not over-quota
+        out = out.where(F.col("wave").isNull()
+                        | (F.col("wave") < max_per_domain))
     return out

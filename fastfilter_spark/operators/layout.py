@@ -84,21 +84,38 @@ def zorder_key(df: DataFrame, cols: list[str],
     stats = df.agg(*[f(F.expr(_q(c))).alias(f"_ff_{n}_{i}")
                      for i, c in enumerate(cols)
                      for n, f in (("min", F.min), ("max", F.max))])
+    from pyspark.sql.types import (
+        ByteType, IntegerType, LongType, ShortType,
+    )
     out = df.crossJoin(F.broadcast(stats))
     code_names = []
     for i, c in enumerate(cols):
         mn, mx = f"_ff_min_{i}", f"_ff_max_{i}"
         code = f"_ff_code_{i}"
         code_names.append(code)
+        dt = next(f.dataType for f in df.schema.fields if f.name == c)
+        integral = isinstance(dt, (ByteType, ShortType,
+                                   IntegerType, LongType))
+        if integral:
+            # DECIMAL(38,0) keeps (x-min)*(2^bits-1) exact for any
+            # BIGINT range; DIV floors exactly
+            bucket = (f"(CAST({_q(c)} AS DECIMAL(38,0)) - {mn}) * {hi} "
+                      f"DIV (CAST({mx} AS DECIMAL(38,0)) - {mn})")
+        else:
+            # float/decimal columns: DIV rejects DOUBLE operands, so
+            # bucket in double arithmetic — deterministic within an
+            # engine, approximate by nature (floats carry rounding
+            # anyway); LEAST guards the x==max edge against fp
+            # round-up past the top bucket
+            bucket = (f"LEAST({hi}L, CAST(floor("
+                      f"(CAST({_q(c)} AS DOUBLE) - {mn}) * {hi} "
+                      f"/ (CAST({mx} AS DOUBLE) - {mn})) AS BIGINT))")
         # null value -> null code (checked FIRST: the degenerate
         # max=min arm must not swallow nulls into bucket 0);
-        # degenerate single-value columns bucket to 0; DECIMAL(38,0)
-        # keeps (x-min)*(2^bits-1) exact for any BIGINT range
+        # degenerate single-value columns bucket to 0
         out = out.withColumn(code, F.expr(
             f"CASE WHEN {_q(c)} IS NULL THEN NULL "
-            f"WHEN {mx} = {mn} THEN 0L ELSE "
-            f"(CAST({_q(c)} AS DECIMAL(38,0)) - {mn}) * {hi} "
-            f"DIV (CAST({mx} AS DECIMAL(38,0)) - {mn}) END"))
+            f"WHEN {mx} = {mn} THEN 0L ELSE {bucket} END"))
     out = out.withColumn(
         "zkey", F.expr(_interleave_expr(code_names, bits)).cast("long"))
     return out.drop(*code_names,

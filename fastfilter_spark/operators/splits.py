@@ -50,10 +50,10 @@ def split_column(group_col: Column,
                  salt: str = "split-v1") -> Column:
     """The split label as a pure Column expression (composable into
     any projection).  ``fractions`` maps label -> fraction; they must
-    sum to 1 (at most 1ppm BELOW after ppm rounding — never above, so
-    the last label's remainder bucket can't be squeezed empty).
+    sum to 1 (within 1e-9) and each must round to >= 1ppm.
     Assignment: ``bucket = portable_hash60(salt || '|' || group) %
-    1e6`` cut at cumulative thresholds in the dict's insertion order.
+    1e6`` cut at the ROUNDED CUMULATIVE thresholds in the dict's
+    insertion order (per-label rounding would accumulate error).
 
     A NULL group yields a NULL label — silently hashing nulls would
     drop every null-group row (IP-literal / unparseable urls are a
@@ -62,27 +62,36 @@ def split_column(group_col: Column,
     (``coalesce(registered_domain(url), url)``)."""
     if not fractions:
         raise ValueError("fractions must be non-empty")
-    ppm = {k: round(v * BUCKETS) for k, v in fractions.items()}
-    if not 0 <= BUCKETS - sum(ppm.values()) <= 1:
-        raise ValueError(
-            f"fractions must sum to 1, not above and at most 1ppm "
-            f"below after rounding (got {sum(ppm.values())/BUCKETS})")
-    if any(v <= 0 for v in ppm.values()):
+    if any(v <= 0 for v in fractions.values()):
         raise ValueError("every fraction must be > 0")
+    if abs(sum(fractions.values()) - 1.0) > 1e-9:
+        raise ValueError(
+            f"fractions must sum to 1 (got {sum(fractions.values())})")
+    # cut points from the rounded CUMULATIVE sums (not summed per-label
+    # roundings, whose error accumulates and can reject valid dicts or
+    # squeeze the last bucket): monotone by construction, and the last
+    # cut is exactly BUCKETS because the fractions sum to 1
+    labels = list(fractions)
+    cuts, acc = [], 0.0
+    for lab in labels[:-1]:
+        acc += fractions[lab]
+        cuts.append(round(acc * BUCKETS))
+    lo = 0
+    for cut in cuts + [BUCKETS]:
+        if cut - lo < 1:
+            raise ValueError(
+                "a fraction rounds to an empty ppm bucket; every "
+                f"label needs >= 1ppm (cut points {cuts})")
+        lo = cut
     # F.concat propagates NULL (concat_ws would silently skip it and
     # hash the bare salt, collapsing all null groups into one bucket)
     bucket = portable_hash60(
         F.concat(F.lit(salt), F.lit("|"), group_col)) % BUCKETS
-    labels = list(ppm)
     # NULL group first: a NULL bucket fails every `<` comparison and
     # would otherwise silently take the `otherwise` label
-    expr, hi = F.when(group_col.isNull(),
-                      F.lit(None).cast("string")), 0
-    # cut points accumulate in insertion order; the last label takes
-    # the remainder so rounding never leaves an unlabeled bucket
-    for lab in labels[:-1]:
-        hi += ppm[lab]
-        expr = expr.when(bucket < F.lit(hi), lab)
+    expr = F.when(group_col.isNull(), F.lit(None).cast("string"))
+    for lab, cut in zip(labels[:-1], cuts):
+        expr = expr.when(bucket < F.lit(cut), lab)
     return expr.otherwise(labels[-1])
 
 

@@ -47,10 +47,13 @@ def dedup_stream(stream: DataFrame, ts_col: str,
     explicit identity columns (e.g. url) to the content fingerprint;
     with ``text_col=None`` only ``key_cols`` dedup.
     """
-    if "_ff_fp" in stream.columns:
-        raise ValueError("reserved column '_ff_fp' present in input")
     keys = list(key_cols or [])
     if text_col is not None:
+        # the helper column only exists on this path — a key-cols-only
+        # stream may legitimately carry its own '_ff_fp'
+        if "_ff_fp" in stream.columns:
+            raise ValueError(
+                "reserved column '_ff_fp' present in input")
         stream = stream.withColumn(
             "_ff_fp", doc_fingerprint(F.col(text_col)))
         keys.append("_ff_fp")

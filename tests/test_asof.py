@@ -118,3 +118,27 @@ def test_map_payload_supported_without_tiebreak(spark):
         "k long, rt timestamp, rules map<string,string>")
     got = asof_join(left, right, "k", "t", "rt").collect()
     assert got[0]["rules_r"] == {"ua": "deny"}
+
+
+def test_null_timestamps_never_match(spark):
+    left = spark.createDataFrame(
+        [(1, _ts(5), "a"), (1, None, "b")],
+        "k long, t timestamp, lv string")
+    right = spark.createDataFrame(
+        [(1, None, 99), (1, _ts(10), 100)],
+        "k long, rt timestamp, rv long")
+    got = {r["lv"]: (r["rt_r"], r["rv_r"])
+           for r in asof_join(left, right, "k", "t", "rt").collect()}
+    # the null-rt right row must not be carried anywhere, and the
+    # rt=10 row is AFTER t=5; the null-t left row matches nothing
+    assert got == {"a": (None, None), "b": (None, None)}
+
+
+def test_dotted_carried_column_names(spark):
+    left = spark.createDataFrame(
+        [(1, _ts(5), "a")], "k long, t timestamp, lv string")
+    right = (spark.createDataFrame(
+        [(1, _ts(3), 7)], "k long, rt timestamp, v long")
+        .withColumnRenamed("v", "meta.v"))
+    got = asof_join(left, right, "k", "t", "rt").collect()[0]
+    assert got["meta.v_r"] == 7 and got["rt_r"] == _ts(3)

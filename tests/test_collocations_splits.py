@@ -138,3 +138,13 @@ def test_collocations_out_of_regime_corpus_fails_loudly(spark, monkeypatch):
     with pytest.raises(Exception) as ei:
         C.pmi_collocations(docs, min_count=2, top_k=5).collect()
     assert "exceeds the exact-BIGINT lift regime" in str(ei.value)
+
+
+def test_split_accepts_exact_sum_fractions_many_labels(spark):
+    # per-label rounding used to reject these genuinely-sum-1 dicts
+    df = spark.range(50).select(F.col("id").cast("string").alias("g"))
+    for fr in ({"a": 0.2000005, "b": 0.2000005, "c": 0.2000005,
+                "d": 0.2000005, "e": 0.199998},
+               {"a": 0.3333335, "b": 0.3333335, "c": 0.333333}):
+        out = leakage_safe_split(df, "g", fractions=fr)
+        assert out.where("split IS NULL").count() == 0

@@ -64,3 +64,12 @@ def test_null_text_documents_classified_by_presence(spark):
     assert got == {1: "unchanged",   # null == null content, both sides
                    2: "removed",     # only in old, despite null md5
                    3: "changed"}     # text -> null IS a content change
+
+
+def test_null_ids_excluded_not_double_reported(spark):
+    old = spark.createDataFrame([(None, "same"), (1, "x")],
+                                "doc_id long, text string")
+    new = spark.createDataFrame([(None, "same"), (1, "x")],
+                                "doc_id long, text string")
+    got = corpus_diff(old, new, "doc_id").collect()
+    assert [(r["doc_id"], r["status"]) for r in got] == [(1, "unchanged")]

@@ -78,3 +78,14 @@ def test_existing_domain_column_not_clobbered(spark):
     # designating the existing column itself as the grouping key is fine
     out = crawl_frontier(df.select("url", "domain"), domain_col="domain")
     assert out.first()["domain"] == "PRECIOUS"
+
+
+def test_null_domain_gets_null_schedule(spark):
+    df = spark.createDataFrame(
+        [("https://a.example.org/1", 1), (None, 2)],
+        "url string, prio long")
+    got = {r["prio"]: (r["domain"], r["wave"], r["worker"])
+           for r in crawl_frontier(df, priority_col="prio",
+                                   max_per_domain=5).collect()}
+    assert got[2] == (None, None, None)   # surfaced, not scheduled
+    assert got[1][1] == 0 and got[1][2] is not None

@@ -94,3 +94,15 @@ def test_reserved_prefix_and_odd_column_names(spark):
                                 ["a-b", "c.d"])
     got = zorder_key(odd, ["a-b", "c.d"], bits=4).collect()
     assert {r["zkey"] for r in got} == {0, 255}
+
+
+def test_double_columns_cluster(spark):
+    rows = [(i / 100.0, i) for i in range(101)]
+    df = spark.createDataFrame(rows, "x double, y long")
+    got = zorder_key(df, ["x", "y"], bits=7).collect()
+    # x in [0,1] must still spread across buckets (no decimal
+    # truncation collapse) and the max row hits the top code on both
+    zs = {r["x"]: r["zkey"] for r in got}
+    assert zs[1.0] == _morton(127, 127, 7)
+    assert zs[0.0] == 0
+    assert len({r["zkey"] for r in got}) > 50
