@@ -100,14 +100,33 @@ def run_level(cpus: int, runs: int, env_extra: dict) -> dict | None:
     return json.loads(lines[-1]) if lines else None
 
 
+# Opt-in sixth-counter gate (round-4 BENCH.md "promotion recipe"):
+# CALM_SYNC_BASELINES="2:6.08,8:2.04" requires each level's best-build
+# barrier-sync rate to reach CALM_SYNC_FRACTION (default 0.5) of its
+# calm baseline.  Unset = round-4 behavior, so certified pairs stay
+# comparable within a round; the miss windows that evaded the other
+# five counters ran level-8 at 19-21% of baseline.
+_SYNC_BASELINES = {
+    int(p.split(":")[0]): float(p.split(":")[1])
+    for p in os.environ.get("CALM_SYNC_BASELINES", "").split(",")
+    if ":" in p}
+_SYNC_FRACTION = float(os.environ.get("CALM_SYNC_FRACTION", "0.5"))
+
+
 def settled(lv: dict, spin_max: float) -> bool:
-    """bench.py's three-counter clean-best-build criterion."""
+    """bench.py's three-counter clean-best-build criterion (plus the
+    opt-in sync floor above)."""
+    base = _SYNC_BASELINES.get(lv.get("cpus"))
+    sync_ok = (base is None
+               or lv.get("sync_krps_during_best_build", 0)
+               >= _SYNC_FRACTION * base)
     return (lv["steal_cpu_s_during_best_build"] <= 1
             and lv.get("external_busy_cpu_s_during_best_build", 99) <= 2.5
             and lv.get("lost_cpu_s_during_best_build", 99)
             <= max(2.0, 0.02 * lv["build_s"] * _NCPU)
             and lv.get("spin_mops_during_best_build", 0)
-            >= 0.85 * spin_max)
+            >= 0.85 * spin_max
+            and sync_ok)
 
 
 def main() -> int:
