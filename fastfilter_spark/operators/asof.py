@@ -34,6 +34,10 @@ the shuffle carries only what the join returns.
 
 DuckDB's native ``ASOF JOIN`` (same greatest-lower-bound semantics,
 inclusive) serves as the oracle for the driver query.
+
+The reference library (FastFilter/xor_singleheader) has no temporal join;
+this extends the training-data pipeline layer mandated alongside
+SURVEY.md §2 (packing.py precedent).
 """
 
 from __future__ import annotations

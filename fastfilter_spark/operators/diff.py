@@ -18,6 +18,10 @@ joined frame — `status` is never materialized driver-side.
 
 Content identity is the same `doc_fingerprint` (md5) the dedup layer
 uses, so "changed" means byte-different text, engine-portably.
+
+The reference library (FastFilter/xor_singleheader) has no snapshot/CDC layer;
+this extends the training-data pipeline layer mandated alongside
+SURVEY.md §2 (packing.py precedent).
 """
 
 from __future__ import annotations

@@ -24,6 +24,10 @@ the schedule is the bottleneck, not the scheduler; ``max_per_domain``
 bounds the tail a single site contributes.  Worker-level balance is
 the birthday bound over domains (hash-uniform), not urls; if one
 domain's URL MASS dwarfs a worker, the quota is the lever.
+
+The reference library (FastFilter/xor_singleheader) has no scheduling layer;
+this extends the training-data pipeline layer mandated alongside
+SURVEY.md §2 (packing.py precedent).
 """
 
 from __future__ import annotations

@@ -32,6 +32,10 @@ Mechanics, exact-integer end to end (oracle-replayable):
 must fit a signed BIGINT); 8-16 bits per column is the practical
 range — finer codes stop paying once files hold fewer distinct codes
 than rows.
+
+The reference library (FastFilter/xor_singleheader) has no storage-layout layer;
+this extends the training-data pipeline layer mandated alongside
+SURVEY.md §2 (packing.py precedent).
 """
 
 from __future__ import annotations

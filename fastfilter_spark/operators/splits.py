@@ -30,6 +30,10 @@ fraction thresholds.  Properties:
   dominated by one giant domain cannot be split 90/5/5 at row
   granularity by ANY leakage-safe scheme — that mass moves together
   by design).
+
+The reference library (FastFilter/xor_singleheader) has no dataset-splitting layer;
+this extends the training-data pipeline layer mandated alongside
+SURVEY.md §2 (packing.py precedent).
 """
 
 from __future__ import annotations

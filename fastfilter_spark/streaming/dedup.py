@@ -22,6 +22,10 @@ library's conventions:
   matching production lakehouse practice).
 - One shuffle per micro-batch, keyed by the fingerprint; state-store
   lookups are local to the post-shuffle partition.
+
+The reference library (FastFilter/xor_singleheader) has no streaming layer;
+this extends the training-data pipeline layer mandated alongside
+SURVEY.md §2 (packing.py precedent).
 """
 
 from __future__ import annotations
