@@ -512,13 +512,26 @@ def _main_inner() -> None:
             for r in lv.get("build_runs", []):
                 if "spin_mops" in r:
                     spin_max[0] = max(spin_max[0], r["spin_mops"])
+            # opt-in sixth-counter floor (same env contract as
+            # calm_hunt.py; BENCH.md round-4 "promotion recipe"):
+            # unset = round-4 behavior
+            _sync_base = {
+                int(p.split(":")[0]): float(p.split(":")[1])
+                for p in os.environ.get("CALM_SYNC_BASELINES",
+                                        "").split(",") if ":" in p}
+            base = _sync_base.get(lv.get("cpus"))
+            sync_ok = (base is None
+                       or lv.get("sync_krps_during_best_build", 0)
+                       >= float(os.environ.get("CALM_SYNC_FRACTION",
+                                               "0.5")) * base)
             return (lv["steal_cpu_s_during_best_build"] <= 1
                     and lv.get("external_busy_cpu_s_during_best_build",
                                99) <= 2.5
                     and lv.get("lost_cpu_s_during_best_build", 99)
                     <= max(2.0, 0.02 * lv["build_s"] * _ncpu)
                     and lv.get("spin_mops_during_best_build", 0)
-                    >= 0.85 * spin_max[0])
+                    >= 0.85 * spin_max[0]
+                    and sync_ok)
 
         attempt = 0
         missed_clean = False
