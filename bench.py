@@ -660,9 +660,13 @@ def _main_inner() -> None:
         "n_url_keys": n_keys,
         "scaling": scaling,
     }
+    # off-sf smoke runs get their own file: a quick sf0.001 iteration
+    # must not clobber the committed round record (it did once)
+    _suite_name = ("suite_r4.json" if sf_label in ("0.1", "")
+                   else f"suite_r4_sf{sf_label}.json")
     suite_out = os.environ.get(
         "SPARK_GRAFT_SUITE_OUT",
-        os.path.join(_REPO, "bench_artifacts", "suite_r4.json"))
+        os.path.join(_REPO, "bench_artifacts", _suite_name))
     try:
         os.makedirs(os.path.dirname(suite_out), exist_ok=True)
         with open(suite_out, "w") as f:
