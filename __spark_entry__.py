@@ -8,6 +8,15 @@ SURVEY.md §2 (+ the mandated training-data-pipeline extensions);
 SQL-expressible query.  Filter queries are SQL-checkable because xor /
 binary-fuse filters have zero false negatives: ``count(keys passing
 contain)`` over inserted keys must equal the exact distinct count.
+
+REGISTRY DISCIPLINE (round-5 rule): the driver's CORRECTNESS capture
+records the FIRST 50 registry entries only, so the registry must stay
+at <= 50 queries — consolidate overlapping checks into one multi-part
+query (each merged query still exercises every constituent operator
+and its oracle checks all of their outputs) rather than appending past
+the cap, and land new queries BEFORE the round's driver capture, never
+after (the r3/r4 16-query coverage gap was sequencing).  The full
+replay gate is ``scripts/check_entry.py``.
 """
 
 from __future__ import annotations
@@ -61,38 +70,57 @@ def entry(spark: SparkSession) -> DataFrame:
 # filter membership queries (zero-false-negative invariant => SQL oracle)
 # ---------------------------------------------------------------------------
 
-def _membership(kind: str, table: str, col: str, shard_bits: int):
-    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
-        from fastfilter_spark.operators.dist import build_sharded
-        df = _t(spark, sf_dir, table)
-        sf, _ = build_sharded(df, col, kind=kind, shard_bits=shard_bits)
-        keys = df.select(col).distinct()
-        n_keys = keys.count()
-        n_pass = keys.where(sf.contains_udf(spark)(F.col(col))).count()
-        return spark.createDataFrame(
-            [(n_keys, n_pass)], "n_keys long, n_pass long")
-    return run
+# one row per filter kind: (label, kind, table, key col, shard_bits,
+# arity).  Each kind keeps the table/shard/arity mix the pre-round-5
+# standalone queries used, so every §2.3 lifecycle row (xor8/16,
+# fuse8/16/32, arity 4, Bloom) is exercised with distinct shapes —
+# consolidated into ONE registry slot (registry discipline, module
+# docstring).
+_MEMBERSHIP_SPECS = [
+    ("bloom", None, "orders", "o_orderkey", None, None),
+    ("fuse16", "fuse16", "customer", "c_custkey", 0, 3),
+    ("fuse32", "fuse32", "supplier", "s_suppkey", 0, 3),
+    ("fuse8", "fuse8", "lineitem", "l_orderkey", 2, 3),
+    ("fuse8_arity4", "fuse8", "orders", "o_orderkey", 1, 4),
+    ("xor16", "xor16", "part", "p_partkey", 0, 3),
+    ("xor8", "xor8", "orders", "o_custkey", 1, 3),
+]
 
 
-def _membership_sql(table: str, col: str) -> str:
-    return (f"SELECT count(DISTINCT {col}) AS n_keys, "
-            f"count(DISTINCT {col}) AS n_pass FROM {table}")
-
-
-def q_bloom_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Bloom build + DISTRIBUTED probe: the filter bytes are broadcast
-    and probed via a pandas UDF ``where()`` — no key collect() to the
-    driver (Bloom has no false negatives, hence the SQL oracle)."""
+def q_membership_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Every filter kind's build + DISTRIBUTED broadcast-probe
+    (sharded xor8/16, fuse8/16/32, the 4-wise fuse extension, and the
+    Bloom UDAF), one output row per kind.  All kinds have zero false
+    negatives, so ``n_pass`` over inserted keys must equal the exact
+    distinct count — which is the SQL oracle."""
+    from fastfilter_spark.operators.dist import build_sharded
     from fastfilter_spark.operators.sketch_agg import (
         bloom_contains_udf, bloom_sketch)
-    df = _t(spark, sf_dir, "orders")
-    bf = bloom_sketch(df, "o_orderkey", fpp=0.01)
-    keys = df.select("o_orderkey").distinct()
-    n_keys = keys.count()
-    n_pass = keys.where(
-        bloom_contains_udf(bf, spark)(F.col("o_orderkey"))).count()
-    return spark.createDataFrame([(n_keys, n_pass)],
-                                 "n_keys long, n_pass long")
+    rows = []
+    for label, kind, table, col, shard_bits, arity in _MEMBERSHIP_SPECS:
+        df = _t(spark, sf_dir, table)
+        keys = df.select(col).distinct()
+        if label == "bloom":
+            bf = bloom_sketch(df, col, fpp=0.01)
+            pred = bloom_contains_udf(bf, spark)(F.col(col))
+        else:
+            sf, _ = build_sharded(df, col, kind=kind,
+                                  shard_bits=shard_bits, arity=arity)
+            pred = sf.contains_udf(spark)(F.col(col))
+        rows.append((label, keys.count(), keys.where(pred).count()))
+    return spark.createDataFrame(
+        rows, "kind string, n_keys long, n_pass long").orderBy("kind")
+
+
+def _membership_all_sql() -> str:
+    parts = []
+    for label, _kind, table, col, _sb, _ar in _MEMBERSHIP_SPECS:
+        parts.append(
+            f"SELECT '{label}' AS kind, "
+            f"count(DISTINCT {col}) AS n_keys, "
+            f"count(DISTINCT {col}) AS n_pass FROM {table}")
+    return ("SELECT kind, n_keys, n_pass FROM ("
+            + " UNION ALL ".join(parts) + ") ORDER BY kind")
 
 
 def q_join_probe_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -111,22 +139,6 @@ def q_join_probe_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
     return probed.agg(
         F.count("*").alias("n_keys"),
         F.sum(F.col("member").cast("long")).alias("n_pass"))
-
-
-def q_fuse8_arity4_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """4-wise binary-fuse extension through the DISTRIBUTED path
-    (build_sharded(arity=4) + broadcast probe UDF — no key collect to
-    the driver): zero false negatives over the distinct keys."""
-    from fastfilter_spark.operators.dist import build_sharded
-    orders = _t(spark, sf_dir, "orders")
-    sf, _ = build_sharded(orders, "o_orderkey", kind="fuse8",
-                          shard_bits=1, arity=4)
-    keys = orders.select("o_orderkey").distinct()
-    n_keys = keys.count()
-    n_pass = keys.where(
-        sf.contains_udf(spark)(F.col("o_orderkey"))).count()
-    return spark.createDataFrame([(n_keys, n_pass)],
-                                 "n_keys long, n_pass long")
 
 
 def q_semi_join_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -153,57 +165,63 @@ def q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from fastfilter_spark.functions.text import token_count
+    """Per-lang token accounting in one scan: whitespace tokens
+    (token_count), word tokens + distinct word tokens (the Gopher
+    diversity-ratio integer components), and BPE-ish regex tokens —
+    the lang histogram (n_docs) rides along.  All pure-codegen text
+    kernels; the oracle recomputes each with DuckDB twins."""
+    from fastfilter_spark.functions.text import (
+        bpe_ish_token_count, distinct_token_ratio_columns, token_count)
     docs = _t(spark, sf_dir, "documents")
-    return (docs.groupBy("lang")
+    cols = distinct_token_ratio_columns(F.col("text"))
+    return (docs.select("lang",
+                        token_count(F.col("text")).alias("_t"),
+                        cols["n_tokens"].alias("_w"),
+                        cols["n_distinct_tokens"].alias("_d"),
+                        bpe_ish_token_count(F.col("text")).alias("_b"))
+            .groupBy("lang")
             .agg(F.count("*").alias("n_docs"),
-                 F.sum(token_count(F.col("text"))).alias("sum_tokens"))
+                 F.sum("_t").alias("sum_tokens"),
+                 F.sum("_w").alias("sum_word_tokens"),
+                 F.sum("_d").alias("sum_distinct_tokens"),
+                 F.sum("_b").alias("sum_bpe_tokens"))
             .orderBy("lang"))
 
 
-def q_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from fastfilter_spark.functions.text import bpe_ish_token_count
-    docs = _t(spark, sf_dir, "documents")
-    return docs.agg(
-        F.sum(bpe_ish_token_count(F.col("text"))).alias("total_bpe_tokens"))
-
-
-def q_quality_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Quality features (functions/text.quality_columns) are pure
-    codegen expressions, so DuckDB can recompute them exactly: per-lang
-    sums of chars, punctuation chars, and stopword hits."""
+def q_quality_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality features (functions/text.quality_columns — pure codegen,
+    so DuckDB recomputes them exactly) aggregated per (lang, length
+    bucket): the bucket histogram and the char/punct/stopword sums in
+    one grouped scan."""
     from fastfilter_spark.functions.text import punct_chars, stopword_hits
     docs = _t(spark, sf_dir, "documents")
     return (docs.select("lang",
+                        F.floor(F.length("text") / 100)
+                        .cast("long").alias("bucket"),
                         F.length("text").cast("long").alias("_c"),
                         punct_chars(F.col("text")).alias("_p"),
                         stopword_hits(F.col("text")).alias("_s"))
-            .groupBy("lang")
-            .agg(F.sum("_c").alias("sum_chars"),
+            .groupBy("lang", "bucket")
+            .agg(F.count("*").alias("n_docs"),
+                 F.sum("_c").alias("sum_chars"),
                  F.sum("_p").alias("sum_punct"),
                  F.sum("_s").alias("sum_stop_hits"))
-            .orderBy("lang"))
+            .orderBy("lang", "bucket"))
 
 
-def q_quality_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _t(spark, sf_dir, "documents")
-    return (docs.select((F.floor(F.length("text") / 100))
-                        .cast("long").alias("bucket"))
-            .groupBy("bucket").agg(F.count("*").alias("n_docs"))
-            .orderBy("bucket"))
-
-
-def q_lang_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _t(spark, sf_dir, "documents")
-    return docs.groupBy("lang").agg(F.count("*").alias("n")).orderBy("lang")
-
-
-def q_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from fastfilter_spark.functions.text import doc_fingerprint
+def q_doc_transforms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document codegen transforms, full corpus: the 128-bit
+    content fingerprint (dedup/diff shuffle key) and the intra-doc
+    line dedup (RefinedWeb repetition pass; the synthetic corpus is
+    single-line so words stand in for lines, sep=' ') — zero-shuffle
+    projections, value-hashed row by row against the oracle."""
+    from fastfilter_spark.functions.text import dedup_lines, doc_fingerprint
     docs = _t(spark, sf_dir, "documents")
     return (docs.select("doc_id",
-                        doc_fingerprint(F.col("text")).alias("fingerprint"))
-            .orderBy("fingerprint").limit(10))
+                        doc_fingerprint(F.col("text")).alias("fingerprint"),
+                        dedup_lines(F.col("text"), sep=" ")
+                        .alias("text_dedup"))
+            .orderBy("doc_id"))
 
 
 # ---------------------------------------------------------------------------
@@ -211,15 +229,28 @@ def q_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Both exact ANN paths in one slot: brute-force cosine top-5 for
+    query vec 3, and IVF with nprobe == ncells (degenerates to exact
+    search) for query vec 7 — each fully SQL-checkable, labeled by a
+    ``method`` column."""
     from pyspark.sql import Window
 
-    from fastfilter_spark.operators.similarity import brute_force_topk
+    from fastfilter_spark.operators.similarity import (
+        IVFIndex, brute_force_topk)
     emb = _t(spark, sf_dir, "embeddings")
-    qvec = list(emb.where(F.col("vec_id") == 3).first()["embedding"])
-    top = brute_force_topk(emb, qvec, k=5)
-    w = Window.orderBy(F.desc("cosine"), F.col("vec_id"))
-    return top.withColumn("rank", F.row_number().over(w)) \
-        .select("rank", "vec_id")
+
+    def ranked(df: DataFrame, method: str) -> DataFrame:
+        w = Window.orderBy(F.desc("cosine"), F.col("vec_id"))
+        return (df.withColumn("rank", F.row_number().over(w))
+                .select(F.lit(method).alias("method"), "rank", "vec_id"))
+
+    qv3 = list(emb.where(F.col("vec_id") == 3).first()["embedding"])
+    brute = ranked(brute_force_topk(emb, qv3, k=5), "brute")
+    idx = IVFIndex.fit(emb.orderBy("vec_id"), ncells=8)
+    assigned = idx.assign(emb)
+    qv7 = list(emb.where(F.col("vec_id") == 7).first()["embedding"])
+    ivf = ranked(idx.search(assigned, qv7, k=5, nprobe=8), "ivf_full")
+    return brute.unionByName(ivf).orderBy("method", "rank")
 
 
 # ---------------------------------------------------------------------------
@@ -227,23 +258,18 @@ def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = _t(spark, sf_dir, "lineitem")
-    return (li.groupBy("l_returnflag", "l_linestatus")
-            .agg(F.count("*").alias("n_rows"),
-                 F.sum(F.col("l_quantity").cast("long")).alias("sum_qty"))
-            .orderBy("l_returnflag", "l_linestatus"))
-
-
-def q_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Two-phase salted aggregation (skew spreading) — results identical
-    to the plain GROUP BY, which is exactly the oracle."""
+    """TPC-H-Q1-style pricing summary computed THROUGH the two-phase
+    salted aggregation (operators/skew.salted_agg, skew spreading) —
+    results are identical to the plain GROUP BY, which is exactly the
+    oracle, so one slot checks both the relational agg and the skew
+    path."""
     from fastfilter_spark.operators.skew import salted_agg
     li = _t(spark, sf_dir, "lineitem")
     return salted_agg(
-        li, ["l_returnflag"],
+        li, ["l_returnflag", "l_linestatus"],
         {"n_rows": ("count", "*"),
          "sum_qty": ("sum", F.col("l_quantity").cast("long"))},
-        n_salts=8).orderBy("l_returnflag")
+        n_salts=8).orderBy("l_returnflag", "l_linestatus")
 
 
 def q_window_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -259,29 +285,34 @@ def q_window_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_rollup_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Grouping sets: rollup over (status, priority)."""
+    """Grouping sets + date functions in one slot: rollup over
+    (status, order month) — the month dimension exercises date_trunc,
+    the rollup exercises grouping-set planning."""
     orders = _t(spark, sf_dir, "orders")
-    return (orders.rollup("o_orderstatus", "o_orderpriority")
+    # month as a 'yyyy-MM' STRING: a DATE grouping column would render
+    # differently across engines once the rollup marker NULLs force
+    # pandas out of datetime64 (the string-with-NULLs o_orderpriority
+    # column of the pre-round-5 rollup is the working precedent)
+    return (orders.withColumn("month",
+                              F.date_format("o_orderdate", "yyyy-MM"))
+            .rollup("o_orderstatus", "month")
             .agg(F.count("*").alias("n"))
-            .orderBy("o_orderstatus", "o_orderpriority"))
+            .orderBy("o_orderstatus", "month"))
 
 
-def q_monthly_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Date functions: orders per month."""
-    orders = _t(spark, sf_dir, "orders")
-    return (orders.select(F.date_trunc("month", "o_orderdate")
-                          .cast("date").alias("month"))
-            .groupBy("month").agg(F.count("*").alias("n_orders"))
-            .orderBy("month"))
-
-
-def q_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """JSON functions: extract props.k and bucket it."""
+def q_events_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON extraction + event-stream profile in one grouped scan:
+    props.k parsed and bucketed (get_json_object), counted per
+    (event_type, bucket) with distinct users."""
     ev = _t(spark, sf_dir, "events")
     k = F.get_json_object("props", "$.k").cast("long")
-    return (ev.select(F.floor(k / 10).cast("long").alias("k_bucket"))
-            .groupBy("k_bucket").agg(F.count("*").alias("n"))
-            .orderBy("k_bucket"))
+    return (ev.select("event_type",
+                      F.floor(k / 10).cast("long").alias("k_bucket"),
+                      "user_id")
+            .groupBy("event_type", "k_bucket")
+            .agg(F.count("*").alias("n_events"),
+                 F.count_distinct("user_id").alias("n_users"))
+            .orderBy("event_type", "k_bucket"))
 
 
 def q_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -327,14 +358,6 @@ def q_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("user_id"))
 
 
-def q_events_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = _t(spark, sf_dir, "events")
-    return (ev.groupBy("event_type")
-            .agg(F.count("*").alias("n_events"),
-                 F.count_distinct("user_id").alias("n_users"))
-            .orderBy("event_type"))
-
-
 # ---------------------------------------------------------------------------
 # sketch queries with bound-check oracles: the probabilistic estimate is
 # converted to DuckDB-checkable output = (exact value computable in SQL,
@@ -345,41 +368,33 @@ def q_events_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 def q_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """HLL estimate vs exact distinct: |est-exact|/exact <= 3 sigma where
-    sigma = 1.04/sqrt(2^p) (Flajolet et al. 2007)."""
+    """HLL estimate vs exact distinct, GLOBAL ('*' row, the scalar UDAF
+    hll_count_distinct) and GROUPED per returnflag (hll_distinct_by_key
+    — partial sketches fold map-side, only KB blobs shuffle), one slot:
+    |est-exact|/exact <= 3 sigma where sigma = 1.04/sqrt(2^p)
+    (Flajolet et al. 2007)."""
     import math
 
-    from fastfilter_spark.operators.sketch_agg import hll_count_distinct
+    from fastfilter_spark.operators.sketch_agg import (
+        hll_count_distinct, hll_distinct_by_key)
     li = _t(spark, sf_dir, "lineitem")
     p = 12
-    est = hll_count_distinct(li, "l_orderkey", p=p)
-    exact = li.select(F.count_distinct("l_orderkey")).first()[0]
     bound = 3 * 1.04 / math.sqrt(1 << p)
-    ok = int(abs(est - exact) / exact <= bound)
-    return spark.createDataFrame([(int(exact), ok)],
-                                 "n_exact long, within_bound int")
-
-
-def q_hll_by_key(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """GROUPED mergeable sketches (sketch_by_key): per-returnflag HLL
-    distinct orderkeys — partial sketches fold map-side, only KB blobs
-    shuffle.  Emits the exact distinct (SQL-checkable) plus a
-    within-3-sigma flag for the estimate, per key."""
-    import math
-
-    from fastfilter_spark.operators.sketch_agg import hll_distinct_by_key
-    li = _t(spark, sf_dir, "lineitem")
-    p = 12
     est = hll_distinct_by_key(li, ["l_returnflag"], "l_orderkey", p=p)
     exact = li.groupBy("l_returnflag").agg(
         F.count_distinct("l_orderkey").alias("n_exact"))
-    bound = 3 * 1.04 / math.sqrt(1 << p)
-    return (exact.join(est, "l_returnflag")
-            .select("l_returnflag", "n_exact",
-                    (F.abs(F.col("approx_distinct") - F.col("n_exact"))
-                     / F.col("n_exact") <= bound).cast("int")
-                    .alias("within_bound"))
-            .orderBy("l_returnflag"))
+    per_key = (exact.join(est, "l_returnflag")
+               .select("l_returnflag", "n_exact",
+                       (F.abs(F.col("approx_distinct") - F.col("n_exact"))
+                        / F.col("n_exact") <= bound).cast("int")
+                       .alias("within_bound")))
+    g_est = hll_count_distinct(li, "l_orderkey", p=p)
+    g_exact = li.select(F.count_distinct("l_orderkey")).first()[0]
+    g_ok = int(abs(g_est - g_exact) / g_exact <= bound)
+    g = spark.createDataFrame(
+        [("*", int(g_exact), g_ok)],
+        "l_returnflag string, n_exact long, within_bound int")
+    return g.unionByName(per_key).orderBy("l_returnflag")
 
 
 def q_multi_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -388,7 +403,9 @@ def q_multi_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     partials for the same column computed in a SINGLE scan, merged from
     per-task wire blobs.  Invariants: the KLL's total weight equals the
     exact non-null row count (lossless counting through partials + tree
-    merge) and the HLL estimate is within 3 sigma of exact distinct."""
+    merge) and the HLL estimate is within 3 sigma of exact distinct.
+    The theta-sketch set intersection shares the slot (registry
+    discipline) — see the in-body comment for its bound."""
     import math
 
     from fastfilter_spark.functions.sketches import KLL, HyperLogLog
@@ -403,88 +420,87 @@ def q_multi_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     bound = 3 * 1.04 / math.sqrt(1 << 12)
     hll_ok = int(abs(m["hll"].estimate() - n_distinct) / n_distinct <= bound)
     kll_ok = int(m["kll"].n == n_rows)
+    # theta/KMV set-operation sketch in the same slot: |distinct(li
+    # keys) ∩ distinct(order keys)| from two INDEPENDENT scans (no
+    # join, no cross shuffle) vs the exact SQL intersection; bound
+    # 5/sqrt(k-2) (KMV relative error, Beyer et al. 2007 — the
+    # intersection equals the union here so no Jaccard inflation)
+    from fastfilter_spark.operators.sketch_agg import theta_intersection
+    orders = _t(spark, sf_dir, "orders")
+    k = 4096
+    t_est = theta_intersection(li, "l_orderkey", orders, "o_orderkey", k=k)
+    t_exact = li.join(orders, li["l_orderkey"] == orders["o_orderkey"],
+                      "left_semi").select(
+        F.count_distinct("l_orderkey")).first()[0]
+    t_ok = int(abs(t_est - t_exact) / t_exact <= 5 / math.sqrt(k - 2))
     return spark.createDataFrame(
-        [(n_rows, n_distinct, hll_ok, kll_ok)],
-        "n_rows long, n_distinct long, hll_within_bound int, kll_n_ok int")
+        [(n_rows, n_distinct, hll_ok, kll_ok, int(t_exact), t_ok)],
+        "n_rows long, n_distinct long, hll_within_bound int, "
+        "kll_n_ok int, n_intersect_exact long, theta_within_bound int")
 
 
-def _quantile_rank_query(kind: str):
-    """KLL / t-digest: realized rank of each estimated quantile must sit
-    within eps=0.03 of the target (the bound test_sketches.py asserts for
-    merged sketches).  Output = (q_pct, n_vals, within_bound) — n_vals is
-    exact-SQL-checkable, within_bound an invariant constant."""
-
-    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
-        from fastfilter_spark.operators.sketch_agg import (
-            kll_quantiles, tdigest_quantiles)
-        li = _t(spark, sf_dir, "lineitem")
-        qs = [0.1, 0.5, 0.9]
-        fn = kll_quantiles if kind == "kll" else tdigest_quantiles
+def q_quantile_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KLL AND t-digest in one slot (a ``kind`` column labels the rows):
+    realized rank of each estimated quantile must sit within eps=0.03
+    of the target (the bound test_sketches.py asserts for merged
+    sketches).  Output = (kind, q_pct, n_vals, within_bound) — n_vals
+    is exact-SQL-checkable, within_bound an invariant constant."""
+    from fastfilter_spark.operators.sketch_agg import (
+        kll_quantiles, tdigest_quantiles)
+    li = _t(spark, sf_dir, "lineitem")
+    qs = [0.1, 0.5, 0.9]
+    rows = []
+    for kind, fn in (("kll", kll_quantiles),
+                     ("tdigest", tdigest_quantiles)):
         vals = fn(li, "l_extendedprice", qs)
-        # all six rank bounds + n in ONE scan (conditional-sum aggregate),
-        # not 7 separate count() jobs
+        # all six rank bounds + n in ONE scan (conditional-sum
+        # aggregate), not 7 separate count() jobs
         col = F.col("l_extendedprice")
         aggs = [F.count(col).alias("n")]
         for i, v in enumerate(vals):
             aggs.append(F.sum((col < float(v)).cast("long")).alias(f"lo{i}"))
             aggs.append(F.sum((col <= float(v)).cast("long")).alias(f"hi{i}"))
         r = li.agg(*aggs).first()
-        n, eps, rows = r["n"], 0.03, []
+        n, eps = r["n"], 0.03
         for i, q in enumerate(qs):
             # true rank of the estimate lies in [lo, hi]; bound holds if
             # that interval intersects [q-eps, q+eps]
             ok = int(r[f"lo{i}"] / n <= q + eps and
                      r[f"hi{i}"] / n >= q - eps)
-            rows.append((int(round(q * 100)), n, ok))
-        return spark.createDataFrame(
-            rows, "q_pct int, n_vals long, within_bound int")
-
-    return run
-
-
-q_kll_quantiles = _quantile_rank_query("kll")
-q_tdigest_quantiles = _quantile_rank_query("tdigest")
+            rows.append((kind, int(round(q * 100)), n, ok))
+    return spark.createDataFrame(
+        rows, "kind string, q_pct int, n_vals long, within_bound int")
 
 
 def _quantile_rank_oracle() -> str:
     return (
-        "SELECT q_pct, (SELECT count(*) FROM lineitem "
+        "SELECT kind, q_pct, (SELECT count(*) FROM lineitem "
         "WHERE l_extendedprice IS NOT NULL) AS n_vals, "
         "CAST(1 AS INT) AS within_bound "
-        "FROM (VALUES (CAST(10 AS INT)), (CAST(50 AS INT)), "
-        "(CAST(90 AS INT))) AS t(q_pct) ORDER BY q_pct")
+        "FROM (VALUES ('kll'), ('tdigest')) AS s(kind), "
+        "(VALUES (CAST(10 AS INT)), (CAST(50 AS INT)), "
+        "(CAST(90 AS INT))) AS t(q_pct) ORDER BY kind, q_pct")
 
 
-def q_theta_intersection(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Theta/KMV set-operation sketch: |distinct(lineitem keys) ∩
-    distinct(order keys)| estimated from two INDEPENDENT scans (no join,
-    no cross shuffle) vs the exact SQL intersection; bound 5/sqrt(k-2)
-    (KMV relative error, Beyer et al. 2007; here the intersection
-    equals the union so no Jaccard inflation applies)."""
-    import math
+def q_heavy_hitters_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Both heavy-hitter operators in one slot, labeled by ``family``:
 
-    from fastfilter_spark.operators.sketch_agg import theta_intersection
-    li = _t(spark, sf_dir, "lineitem")
-    orders = _t(spark, sf_dir, "orders")
-    k = 4096
-    est = theta_intersection(li, "l_orderkey", orders, "o_orderkey", k=k)
-    exact = li.join(orders, li["l_orderkey"] == orders["o_orderkey"],
-                    "left_semi").select(
-        F.count_distinct("l_orderkey")).first()[0]
-    ok = int(abs(est - exact) / exact <= 5 / math.sqrt(k - 2))
-    return spark.createDataFrame([(int(exact), ok)],
-                                 "n_exact long, within_bound int")
-
-
-def q_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Count-min over the top-5 heavy hitters: est >= true (structural
-    guarantee) and est <= true + ceil(e/width * N) (Cormode-Muthukrishnan
-    bound).  true_count is exact SQL; the two flags are invariants."""
+    - ``cms``: count-min over lineitem's top-5 suppkeys — est >= true
+      (structural guarantee) and est <= true + ceil(e/width * N)
+      (Cormode-Muthukrishnan bound); true_count exact SQL, flags
+      invariants.
+    - ``mg``: ONE Misra-Gries streaming pass over document tokens plus
+      a candidate-restricted count (sketch_agg.heavy_hitters) — the MG
+      containment guarantee makes the result equal the full
+      groupBy-HAVING answer, so both flags are the constant 1 and the
+      count column is exact SQL."""
     import math
 
     import numpy as np
 
-    from fastfilter_spark.operators.sketch_agg import cms_sketch
+    from fastfilter_spark.functions.text import word_tokens
+    from fastfilter_spark.operators.sketch_agg import (
+        cms_sketch, heavy_hitters)
     li = _t(spark, sf_dir, "lineitem")
     width, depth = 4096, 5
     cms = cms_sketch(li, "l_suppkey", width=width, depth=depth)
@@ -496,10 +512,20 @@ def q_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     for r in top:
         true = int(r["count"])
         est = int(cms.query(np.array([r["l_suppkey"]], dtype=np.int64))[0])
-        rows.append((int(r["l_suppkey"]), true,
+        rows.append(("cms", str(int(r["l_suppkey"])), true,
                      int(est >= true), int(est <= true + slack)))
-    return spark.createDataFrame(
-        rows, "l_suppkey long, true_count long, overcount_ok int, bound_ok int")
+    cms_df = spark.createDataFrame(
+        rows, "family string, key string, n_true long, "
+        "flag_a int, flag_b int")
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(F.explode(word_tokens(F.col("text")))
+                       .alias("token"))
+    mg = (heavy_hitters(toks, "token", k=48)
+          .select(F.lit("mg").alias("family"),
+                  F.col("token").alias("key"),
+                  F.col("n_exact").alias("n_true"),
+                  F.lit(1).alias("flag_a"), F.lit(1).alias("flag_b")))
+    return cms_df.unionByName(mg).orderBy("family", "key")
 
 
 # ---------------------------------------------------------------------------
@@ -526,16 +552,30 @@ def _planted_recovery(pairs: DataFrame, n_planted: int) -> DataFrame:
 
 
 def q_minhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH candidate recovery of the planted pairs PLUS the
+    exact shingle-Jaccard verification tier (dedup tier 4,
+    verify_jaccard) on the recovered candidates — every planted pair
+    must be recovered AND clear the 0.5 Jaccard threshold (the tail is
+    a small fraction of each doc), so the oracle is the literal
+    (15, 15, 15)."""
     from fastfilter_spark.operators.dedup import (
-        exact_dedup, minhash_dedup_pairs)
+        exact_dedup, minhash_dedup_pairs, verify_jaccard)
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
     base = exact_dedup(docs)
     near = base.orderBy("doc_id").limit(15).select(
         (F.col("doc_id") + _PLANT_OFFSET).alias("doc_id"),
         F.concat(F.col("text"), F.lit(" tail tail tail")).alias("text"))
-    pairs = minhash_dedup_pairs(docs.unionAll(near), threshold=0.5,
+    corpus = docs.unionAll(near)
+    pairs = minhash_dedup_pairs(corpus, threshold=0.5,
                                 n_hashes=64, bands=16)
-    return _planted_recovery(pairs, 15)
+    planted = pairs.where(
+        F.col("id_b") - F.col("id_a") == _PLANT_OFFSET)
+    n_rec = planted.count()
+    scored = verify_jaccard(planted.select("id_a", "id_b"), corpus)
+    n_verified = scored.where(F.col("jaccard") >= 0.5).count()
+    return spark.createDataFrame(
+        [(15, n_rec, n_verified)],
+        "n_planted long, n_recovered long, n_verified long")
 
 
 def q_simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -562,48 +602,14 @@ def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _planted_recovery(pairs, 10)
 
 
-def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact n-gram (shingle) Jaccard as a standalone verification
-    operator (dedup tier 4): score planted near-dup candidate pairs and
-    count how many clear the threshold — every planted pair must (the
-    tail added is a small fraction of each doc), so the oracle is the
-    literal (n_pairs, n_pairs)."""
-    from fastfilter_spark.operators.dedup import exact_dedup, verify_jaccard
-    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
-    base = exact_dedup(docs)
-    near = base.orderBy("doc_id").limit(20).select(
-        (F.col("doc_id") + _PLANT_OFFSET).alias("doc_id"),
-        F.concat(F.col("text"), F.lit(" tail")).alias("text"))
-    cand = base.orderBy("doc_id").limit(20).select(
-        F.col("doc_id").alias("id_a"),
-        (F.col("doc_id") + _PLANT_OFFSET).alias("id_b"))
-    scored = verify_jaccard(cand, docs.unionAll(near))
-    return scored.agg(
-        F.count("*").alias("n_pairs"),
-        F.sum((F.col("jaccard") >= 0.5).cast("long")).alias("n_above"))
-
-
-def q_pipeline_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Composed training-data pipeline: quality filter -> exact dedup ->
-    token accounting — every stage is codegen-able, so the WHOLE
-    pipeline has an exact SQL oracle."""
-    from fastfilter_spark.functions.text import quality_score, token_count
-    from fastfilter_spark.operators.dedup import exact_dedup
-    docs = _t(spark, sf_dir, "documents")
-    kept = exact_dedup(docs.where(quality_score(F.col("text")) >= 0.7))
-    return kept.agg(
-        F.count("*").alias("n_docs"),
-        F.sum(token_count(F.col("text"))).alias("total_tokens"))
-
-
 def q_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF recall vs brute force at nprobe=3/8: emits an invariant flag
     (recall >= 2/3 over 3 queries x top-5; the synthetic embeddings are
     near-uniform random, so the recall plateau is lower than on real
     clustered corpora — measured 11/15 here, deterministic for the fixed
-    data + kmeans seed).  The exact-path twin q_ivf_fullprobe_topk has a
-    full SQL oracle; per-query hit counts are asserted in
-    tests/test_text_dedup.py."""
+    data + kmeans seed).  The exact-path twin (q_ann_topk's
+    ``ivf_full`` rows, nprobe == ncells) has a full SQL oracle;
+    per-query hit counts are asserted in tests/test_text_dedup.py."""
     from fastfilter_spark.operators.similarity import (
         IVFIndex, brute_force_topk)
     emb = _t(spark, sf_dir, "embeddings")
@@ -618,22 +624,6 @@ def q_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         hits += len(exact & approx)
     return spark.createDataFrame([(3, 5, int(hits >= 10))],
                                  "n_queries long, k long, recall_ok int")
-
-
-def q_ivf_fullprobe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF with nprobe == ncells degenerates to exact search — DuckDB can
-    verify the full result (the hard-oracle twin of q_ivf_recall)."""
-    from pyspark.sql import Window
-
-    from fastfilter_spark.operators.similarity import IVFIndex
-    emb = _t(spark, sf_dir, "embeddings")
-    idx = IVFIndex.fit(emb.orderBy("vec_id"), ncells=8)
-    assigned = idx.assign(emb)
-    qvec = list(emb.where(F.col("vec_id") == 7).first()["embedding"])
-    top = idx.search(assigned, qvec, k=5, nprobe=8)
-    w = Window.orderBy(F.desc("cosine"), F.col("vec_id"))
-    return top.withColumn("rank", F.row_number().over(w)) \
-        .select("rank", "vec_id")
 
 
 # ---------------------------------------------------------------------------
@@ -742,36 +732,30 @@ def q_doc_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Benchmark decontamination: eval set = every 10th doc; the
-    filter-pre-pruned broadcast anti join must remove EXACTLY the train
-    rows whose md5 matches an eval text (fuse8 false positives are
-    caught by the exact stage; false negatives don't exist)."""
-    from fastfilter_spark.operators.dedup import decontaminate
+    """Both decontamination operators in one slot, eval set = every
+    10th doc.  Document-level (``decontaminate``): filter-pre-pruned
+    broadcast anti join removes EXACTLY the train rows whose md5
+    matches an eval text (fuse8 false positives caught by the exact
+    stage; false negatives don't exist).  GPT-3-style n-gram level
+    (``ngram_decontaminate``, n=8 on this small corpus): train docs
+    sharing ANY token 8-gram with the eval slice are removed —
+    broadcast fuse8 over eval gram hashes prunes the exploded train
+    grams map-side, exact gram-string semi join kills filter fp,
+    distinct contaminated ids drive a broadcast anti join.  The
+    oracle recomputes both overlaps exactly from scratch."""
+    from fastfilter_spark.operators.dedup import (
+        decontaminate, ngram_decontaminate)
     docs = _t(spark, sf_dir, "documents")
     ev = docs.where(F.col("doc_id") % 10 == 0)
-    clean = decontaminate(docs, ev)
-    cont = decontaminate(docs, ev, invert=True)
+    row = (docs.count(), ev.count(),
+           decontaminate(docs, ev, invert=True).count(),
+           decontaminate(docs, ev).count(),
+           ngram_decontaminate(docs, ev, n=8, invert=True).count(),
+           ngram_decontaminate(docs, ev, n=8).count())
     return spark.createDataFrame(
-        [(docs.count(), ev.count(), cont.count(), clean.count())],
-        "n_train long, n_eval long, n_contaminated long, n_clean long")
-
-
-def q_ngram_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """GPT-3-style n-gram decontamination (n=8 on this small corpus):
-    train docs sharing ANY token 8-gram with the eval slice (every
-    10th doc) are removed.  Architecture: broadcast fuse8 filter over
-    eval gram hashes prunes the exploded train grams map-side; exact
-    gram-string semi join kills filter fp; distinct contaminated ids
-    drive a broadcast anti join.  The oracle recomputes overlap
-    exactly from scratch."""
-    from fastfilter_spark.operators.dedup import ngram_decontaminate
-    docs = _t(spark, sf_dir, "documents")
-    ev = docs.where(F.col("doc_id") % 10 == 0)
-    clean = ngram_decontaminate(docs, ev, n=8)
-    cont = ngram_decontaminate(docs, ev, n=8, invert=True)
-    return spark.createDataFrame(
-        [(docs.count(), cont.count(), clean.count())],
-        "n_train long, n_contaminated long, n_clean long")
+        [row],
+        "n_train long, n_eval long, n_doc_contaminated long, "
+        "n_doc_clean long, n_gram_contaminated long, n_gram_clean long")
 
 
 _FUNNEL_LANG_BUDGET = {"de": 2000, "en": 5000, "es": 2000, "fr": 2000,
@@ -941,30 +925,28 @@ def _pagerank_oracle_sql(iterations: int = 3, damping_pct: int = 85,
             f"ORDER BY pr DESC, doc_id LIMIT {int(k)}")
 
 
-def q_kmv_distinct_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """KMV bottom-k sketch (k=512) estimating the corpus vocabulary
-    size — exact integer estimator, bit-reproducible in any engine
-    (operators/kmv.py; estimator from Beyer et al. 2007)."""
+def q_kmv_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Both KMV bottom-k estimators in one slot (single joined row).
+    Distinct (k=512): corpus vocabulary size — exact integer
+    estimator, bit-reproducible in any engine (operators/kmv.py;
+    Beyer et al. 2007).  Jaccard (k=256): between the token
+    vocabularies of the even- and odd-doc_id halves — the
+    corpus-overlap probe a crawl-vs-crawl comparison runs before
+    deciding to merge (Cohen & Kaplan 2007, exact integer
+    arithmetic)."""
     from fastfilter_spark.functions.text import word_tokens
-    from fastfilter_spark.operators.kmv import kmv_distinct
+    from fastfilter_spark.operators.kmv import kmv_distinct, kmv_jaccard
     docs = _t(spark, sf_dir, "documents")
     toks = docs.select(
         F.explode(word_tokens(F.col("text"))).alias("token"))
-    return kmv_distinct(toks, "token", k=512)
-
-
-def q_kmv_jaccard_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Bottom-k Jaccard (k=256) between the token vocabularies of the
-    even- and odd-doc_id halves of the corpus — the corpus-overlap
-    probe a crawl-vs-crawl comparison runs before deciding to merge
-    (Cohen & Kaplan 2007 estimator, exact integer arithmetic)."""
-    from fastfilter_spark.functions.text import word_tokens
-    from fastfilter_spark.operators.kmv import kmv_jaccard
-    docs = _t(spark, sf_dir, "documents")
-    toks = lambda parity: (docs.where(F.col("doc_id") % 2 == parity)
+    half = lambda parity: (docs.where(F.col("doc_id") % 2 == parity)
                            .select(F.explode(word_tokens(F.col("text")))
                                    .alias("token")))
-    return kmv_jaccard(toks(0), toks(1), "token", k=256)
+    d = kmv_distinct(toks, "token", k=512)
+    j = kmv_jaccard(half(0), half(1), "token", k=256)
+    # both are literal 1-row frames; the cross join is a broadcast of
+    # one row, not a data-sized product
+    return d.crossJoin(j)
 
 
 _KMV_TOK_CTE = (
@@ -974,37 +956,34 @@ _KMV_TOK_CTE = (
 _KMV_H = "('0x' || substr(md5(token), 1, 15))::BIGINT"
 
 
-def _kmv_distinct_oracle_sql(k: int = 512) -> str:
+def _kmv_sketches_oracle_sql(kd: int = 512, kj: int = 256) -> str:
+    """Joined replay of both KMV estimators (one row, six columns)."""
     hmax = 1 << 60
     return (
         f"WITH {_KMV_TOK_CTE}, "
         f"bk AS (SELECT DISTINCT {_KMV_H} AS h FROM tok "
-        f"ORDER BY h LIMIT {k}), "
+        f"ORDER BY h LIMIT {kd}), "
         "a AS (SELECT CAST(count(*) AS BIGINT) AS n_min, "
-        "max(h) AS kth_hash FROM bk) "
-        f"SELECT n_min, kth_hash, CAST(CASE WHEN n_min < {k} THEN n_min "
-        f"ELSE CAST(CAST({k - 1} AS HUGEINT) * {hmax} // kth_hash "
-        "AS BIGINT) END AS BIGINT) AS distinct_est FROM a")
-
-
-def _kmv_jaccard_oracle_sql(k: int = 256) -> str:
-    return (
-        "WITH tok AS (SELECT doc_id % 2 AS par, tok.t AS token "
+        "max(h) AS kth_hash FROM bk), "
+        "ptok AS (SELECT doc_id % 2 AS par, tok.t AS token "
         "FROM documents, "
         "UNNEST(list_filter(string_split_regex(lower(text), '[^a-z]+'), "
         "x -> x <> '')) AS tok(t)), "
-        f"ba AS (SELECT DISTINCT {_KMV_H} AS h FROM tok WHERE par = 0 "
-        f"ORDER BY h LIMIT {k}), "
-        f"bb AS (SELECT DISTINCT {_KMV_H} AS h FROM tok WHERE par = 1 "
-        f"ORDER BY h LIMIT {k}), "
+        f"ba AS (SELECT DISTINCT {_KMV_H} AS h FROM ptok WHERE par = 0 "
+        f"ORDER BY h LIMIT {kj}), "
+        f"bb AS (SELECT DISTINCT {_KMV_H} AS h FROM ptok WHERE par = 1 "
+        f"ORDER BY h LIMIT {kj}), "
         "bu AS (SELECT h FROM (SELECT h FROM ba UNION SELECT h FROM bb) "
-        f"ORDER BY h LIMIT {k}), "
+        f"ORDER BY h LIMIT {kj}), "
         "m AS (SELECT CAST(count(*) AS BIGINT) AS matches FROM bu "
         "WHERE h IN (SELECT h FROM ba) AND h IN (SELECT h FROM bb)), "
         "u AS (SELECT CAST(count(*) AS BIGINT) AS union_k FROM bu) "
-        "SELECT union_k, matches, CAST(CASE WHEN union_k = 0 THEN 0 "
+        f"SELECT n_min, kth_hash, CAST(CASE WHEN n_min < {kd} THEN n_min "
+        f"ELSE CAST(CAST({kd - 1} AS HUGEINT) * {hmax} // kth_hash "
+        "AS BIGINT) END AS BIGINT) AS distinct_est, "
+        "union_k, matches, CAST(CASE WHEN union_k = 0 THEN 0 "
         "ELSE matches * 1000000 // union_k END AS BIGINT) AS jaccard_e6 "
-        "FROM u, m")
+        "FROM a, u, m")
 
 
 def q_ams_f2_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1144,33 +1123,6 @@ def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("lang", "source", "doc_id"))
 
 
-def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact heavy hitters from ONE Misra-Gries streaming pass plus a
-    candidate-restricted count (operators/sketch_agg.heavy_hitters):
-    the MG containment guarantee makes the result equal the full
-    groupBy-HAVING answer, which is exactly what the oracle computes."""
-    from fastfilter_spark.functions.text import word_tokens
-    from fastfilter_spark.operators.sketch_agg import heavy_hitters
-    docs = _t(spark, sf_dir, "documents")
-    toks = docs.select(F.explode(word_tokens(F.col("text")))
-                       .alias("token"))
-    return heavy_hitters(toks, "token", k=48).orderBy("token")
-
-
-def q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Intra-document repetition removal (RefinedWeb/Gopher pass):
-    first occurrence of each line kept in order, pure JVM
-    split→array_distinct→array_join (zero shuffle).  The synthetic
-    corpus is single-line, so words stand in for lines (sep=' ') —
-    same code path, same semantics."""
-    from fastfilter_spark.functions.text import dedup_lines
-    docs = _t(spark, sf_dir, "documents")
-    return (docs.select("doc_id",
-                        dedup_lines(F.col("text"), sep=" ")
-                        .alias("text_dedup"))
-            .orderBy("doc_id"))
-
-
 def q_boilerplate_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCNet-style boilerplate strip: lines present in >= 90% of
     documents (navigation chrome at web scale; the corpus's stopword
@@ -1183,20 +1135,6 @@ def q_boilerplate_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
     thresh = math.ceil(0.9 * docs.count())
     return remove_boilerplate_lines(docs, min_docs=thresh, sep=" ") \
         .orderBy("doc_id")
-
-
-def q_token_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Gopher-style repetition signal: per-lang total vs distinct token
-    sums (integer components of the diversity ratio)."""
-    from fastfilter_spark.functions.text import distinct_token_ratio_columns
-    docs = _t(spark, sf_dir, "documents")
-    cols = distinct_token_ratio_columns(F.col("text"))
-    return (docs.select("lang", cols["n_tokens"].alias("_t"),
-                        cols["n_distinct_tokens"].alias("_d"))
-            .groupBy("lang")
-            .agg(F.sum("_t").alias("sum_tokens"),
-                 F.sum("_d").alias("sum_distinct_tokens"))
-            .orderBy("lang"))
 
 
 def q_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1292,39 +1230,38 @@ def _expected_audio_quants(n: int = 20, seed: int = 42,
     return out
 
 
+def _diff_snapshots(spark: SparkSession,
+                    sf_dir: str) -> tuple[DataFrame, DataFrame]:
+    """Two synthetic crawl versions of the documents table: drop
+    different id slices per side, mutate every 7th text."""
+    docs = _t(spark, sf_dir, "documents")
+    old = docs.where(F.col("doc_id") % 13 != 0)
+    new = (docs.where(F.col("doc_id") % 11 != 0)
+           .withColumn("text",
+                       F.when(F.col("doc_id") % 7 == 0,
+                              F.concat(F.col("text"), F.lit("!")))
+                       .otherwise(F.col("text"))))
+    return old, new
+
+
 def q_corpus_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Snapshot diff between two synthetic crawl versions of the
-    documents table (drop different id slices per side, mutate every
-    7th text): added/removed/changed/unchanged counts via one
-    full-outer join of (id, md5) projections — the text never
-    shuffles (operators/diff.py)."""
-    from fastfilter_spark.operators.diff import diff_counts
-    docs = _t(spark, sf_dir, "documents")
-    old = docs.where(F.col("doc_id") % 13 != 0)
-    new = (docs.where(F.col("doc_id") % 11 != 0)
-           .withColumn("text",
-                       F.when(F.col("doc_id") % 7 == 0,
-                              F.concat(F.col("text"), F.lit("!")))
-                       .otherwise(F.col("text"))))
-    return diff_counts(old, new, "doc_id")
+    """Snapshot diff AND the incremental update it drives, one slot.
 
-
-def q_incremental_update(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Incremental corpus update driven by the snapshot diff: quality
-    filtering runs ONLY on added+changed documents, unchanged rows
-    carry the previous run's verdict forward (left-semi joins on the
-    diff), removed rows drop out.  The ORACLE is the full recompute
-    over the new snapshot — the hash match proves the incremental
-    path is equivalent, which is the invariant incremental pipelines
-    rely on."""
-    from fastfilter_spark.operators.diff import corpus_diff
-    docs = _t(spark, sf_dir, "documents")
-    old = docs.where(F.col("doc_id") % 13 != 0)
-    new = (docs.where(F.col("doc_id") % 11 != 0)
-           .withColumn("text",
-                       F.when(F.col("doc_id") % 7 == 0,
-                              F.concat(F.col("text"), F.lit("!")))
-                       .otherwise(F.col("text"))))
+    Diff rows (bucket = status): added/removed/changed/unchanged
+    counts via one full-outer join of (id, md5) projections — the
+    text never shuffles (operators/diff.py).  Update rows (bucket =
+    lang): quality filtering runs ONLY on added+changed documents,
+    unchanged rows carry the previous run's verdict forward
+    (left-semi joins on the diff), removed rows drop out — the ORACLE
+    for those rows is the full recompute over the new snapshot, so
+    the hash match proves incremental == full, the invariant
+    incremental pipelines rely on.  Status and lang values never
+    collide, so one (bucket, n, sum_chars) schema carries both."""
+    from fastfilter_spark.operators.diff import corpus_diff, diff_counts
+    old, new = _diff_snapshots(spark, sf_dir)
+    d = diff_counts(old, new, "doc_id").select(
+        F.col("status").alias("bucket"), F.col("n"),
+        F.lit(0).cast("long").alias("sum_chars"))
     diff = corpus_diff(old, new, "doc_id")
     keep = F.length("text") >= 200
     fresh = (new.join(diff.where(F.col("status").isin("added", "changed"))
@@ -1333,11 +1270,11 @@ def q_incremental_update(spark: SparkSession, sf_dir: str) -> DataFrame:
     carried = (old.join(diff.where(F.col("status") == "unchanged")
                         .select("doc_id"), "doc_id", "left_semi")
                .where(keep))
-    return (fresh.unionByName(carried)
-            .groupBy("lang")
-            .agg(F.count("*").alias("n_kept"),
-                 F.sum(F.length("text")).cast("long").alias("sum_chars"))
-            .orderBy("lang"))
+    upd = (fresh.unionByName(carried)
+           .groupBy(F.col("lang").alias("bucket"))
+           .agg(F.count("*").alias("n"),
+                F.sum(F.length("text")).cast("long").alias("sum_chars")))
+    return d.unionByName(upd).orderBy("bucket")
 
 
 def q_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1534,76 +1471,56 @@ def q_filter_serialization(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    # 49 entries — one under the driver's 50-row capture cap (module
+    # docstring: REGISTRY DISCIPLINE).  Consolidated round-5: every
+    # operator the 73-query round-4 registry exercised is still
+    # exercised, via multi-part queries.
     return {
         # filter lifecycle (SURVEY §2.3)
-        "fuse8_membership": _membership("fuse8", "lineitem", "l_orderkey", 2),
-        "xor8_membership": _membership("xor8", "orders", "o_custkey", 1),
-        "xor16_membership": _membership("xor16", "part", "p_partkey", 0),
-        "fuse16_membership": _membership("fuse16", "customer", "c_custkey", 0),
-        "fuse32_membership": _membership("fuse32", "supplier", "s_suppkey", 0),
-        "bloom_membership": q_bloom_membership,
+        "membership_all": q_membership_all,
         "join_probe_membership": q_join_probe_membership,
-        "fuse8_arity4_membership": q_fuse8_arity4_membership,
         "semi_join_prune": q_semi_join_prune,
         "filter_serialization": q_filter_serialization,
         # text / dedup
         "exact_dedup": q_exact_dedup,
+        "doc_transforms": q_doc_transforms,
         "token_stats": q_token_stats,
-        "bpe_tokens": q_bpe_tokens,
-        "quality_buckets": q_quality_buckets,
-        "quality_features": q_quality_features,
-        "lang_distribution": q_lang_distribution,
-        "fingerprints": q_fingerprints,
+        "quality_profile": q_quality_profile,
         "minhash_near_dups": q_minhash_near_dups,
-        "ngram_jaccard": q_ngram_jaccard,
-        "pipeline_tokens": q_pipeline_tokens,
         "simhash_near_dups": q_simhash_near_dups,
         "embedding_near_dup": q_embedding_near_dup,
         # similarity
         "ann_topk": q_ann_topk,
         "ivf_recall": q_ivf_recall,
-        "ivf_fullprobe_topk": q_ivf_fullprobe_topk,
         # sketches (north_rule)
         "hll_distinct": q_hll_distinct,
-        "hll_by_key": q_hll_by_key,
         "multi_sketch": q_multi_sketch,
-        "kll_quantiles": q_kll_quantiles,
-        "tdigest_quantiles": q_tdigest_quantiles,
-        "cms_heavy_hitters": q_cms_heavy_hitters,
-        "theta_intersection": q_theta_intersection,
-        "kmv_distinct_tokens": q_kmv_distinct_tokens,
-        "kmv_jaccard_sources": q_kmv_jaccard_sources,
+        "quantile_sketches": q_quantile_sketches,
+        "heavy_hitters_all": q_heavy_hitters_all,
+        "kmv_sketches": q_kmv_sketches,
         "ams_f2_tokens": q_ams_f2_tokens,
         "priority_sample_sources": q_priority_sample_sources,
         "pack_sequences": q_pack_sequences,
         # relational demos + skew handling
         "pricing_summary": q_pricing_summary,
-        "salted_agg": q_salted_agg,
-        "events_by_type": q_events_by_type,
+        "events_json": q_events_json,
         "set_ops": q_set_ops,
         "string_funcs": q_string_funcs,
         "window_topn": q_window_topn,
         "rollup_orders": q_rollup_orders,
-        "monthly_orders": q_monthly_orders,
-        "json_extract": q_json_extract,
+        "sessionization": q_sessionization,
         # web-pipeline (urls, vocabulary, decontamination, sampling)
         "url_parsing": q_url_parsing,
         "doc_frequency": q_doc_frequency,
         "decontamination": q_decontamination,
         "stratified_sample": q_stratified_sample,
-        "token_diversity": q_token_diversity,
         "repetition_signals": q_repetition_signals,
         "pii_redaction": q_pii_redaction,
         "token_budget_mix": q_token_budget_mix,
-        "ngram_decontamination": q_ngram_decontamination,
         "dedup_components": q_dedup_components,
         "corpus_funnel": q_corpus_funnel,
-        "sessionization": q_sessionization,
-        "line_dedup": q_line_dedup,
         "boilerplate_removal": q_boilerplate_removal,
-        "heavy_hitters": q_heavy_hitters,
         "corpus_diff": q_corpus_diff,
-        "incremental_update": q_incremental_update,
         "zorder_layout": q_zorder_layout,
         "crawl_frontier": q_crawl_frontier,
         "asof_join": q_asof_join,
@@ -1621,14 +1538,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
-        "fuse8_membership": _membership_sql("lineitem", "l_orderkey"),
-        "xor8_membership": _membership_sql("orders", "o_custkey"),
-        "xor16_membership": _membership_sql("part", "p_partkey"),
-        "fuse16_membership": _membership_sql("customer", "c_custkey"),
-        "fuse32_membership": _membership_sql("supplier", "s_suppkey"),
-        "bloom_membership": _membership_sql("orders", "o_orderkey"),
-        "join_probe_membership": _membership_sql("lineitem", "l_orderkey"),
-        "fuse8_arity4_membership": _membership_sql("orders", "o_orderkey"),
+        "membership_all": _membership_all_sql(),
+        "join_probe_membership": (
+            "SELECT count(DISTINCT l_orderkey) AS n_keys, "
+            "count(DISTINCT l_orderkey) AS n_pass FROM lineitem"),
         "semi_join_prune": (
             "SELECT count(*) AS n_orders, "
             "count(DISTINCT o_custkey) AS n_matched_cust FROM orders "
@@ -1638,49 +1551,61 @@ def oracle_sql() -> dict[str, str]:
             "SELECT count(*) AS n_docs, count(DISTINCT text) AS n_distinct "
             "FROM documents"),
         "token_stats": (
+            "WITH t AS (SELECT lang, text, list_filter("
+            "string_split_regex(lower(text), '[^a-z]+'), x -> x <> '') "
+            "AS toks FROM documents) "
             "SELECT lang, count(*) AS n_docs, "
             "CAST(sum(CASE WHEN trim(text) = '' THEN 0 ELSE "
             "len(regexp_split_to_array(trim(text), '\\s+')) END) AS BIGINT) "
-            "AS sum_tokens "
-            "FROM documents GROUP BY lang ORDER BY lang"),
-        "bpe_tokens": (
-            "SELECT CAST(sum(len(regexp_extract_all(text, "
-            "'[A-Za-z0-9]+|[^A-Za-z0-9\\s]'))) AS BIGINT) AS total_bpe_tokens "
-            "FROM documents"),
-        "quality_buckets": (
-            "SELECT CAST(floor(length(text) / 100) AS BIGINT) AS bucket, "
-            "count(*) AS n_docs FROM documents GROUP BY 1 ORDER BY 1"),
-        "quality_features": (
-            "SELECT lang, CAST(sum(length(text)) AS BIGINT) AS sum_chars, "
+            "AS sum_tokens, "
+            "CAST(sum(len(toks)) AS BIGINT) AS sum_word_tokens, "
+            "CAST(sum(len(list_distinct(toks))) AS BIGINT) "
+            "AS sum_distinct_tokens, "
+            "CAST(sum(len(regexp_extract_all(text, "
+            "'[A-Za-z0-9]+|[^A-Za-z0-9\\s]'))) AS BIGINT) "
+            "AS sum_bpe_tokens "
+            "FROM t GROUP BY lang ORDER BY lang"),
+        "quality_profile": (
+            "SELECT lang, "
+            "CAST(floor(length(text) / 100) AS BIGINT) AS bucket, "
+            "count(*) AS n_docs, "
+            "CAST(sum(length(text)) AS BIGINT) AS sum_chars, "
             "CAST(sum(length(text) - length(regexp_replace(text, "
             "'[^A-Za-z0-9\\s]', '', 'g'))) AS BIGINT) AS sum_punct, "
             "CAST(sum(len(list_filter(regexp_split_to_array("
             "lower(trim(text)), '\\s+'), w -> w IN ('the','a','of','and',"
             "'to','in','is','for','with','on')))) AS BIGINT) "
             "AS sum_stop_hits "
-            "FROM documents GROUP BY lang ORDER BY lang"),
-        "lang_distribution": (
-            "SELECT lang, count(*) AS n FROM documents GROUP BY lang "
-            "ORDER BY lang"),
-        "fingerprints": (
-            "SELECT doc_id, md5(text) AS fingerprint FROM documents "
-            "ORDER BY fingerprint LIMIT 10"),
+            "FROM documents GROUP BY lang, bucket ORDER BY lang, bucket"),
+        "doc_transforms": (
+            "WITH lines AS (SELECT doc_id, "
+            "unnest(string_split(text, ' ')) AS line, "
+            "unnest(generate_series(1, len(string_split(text, ' ')))) "
+            "AS pos FROM documents), "
+            "firsts AS (SELECT doc_id, line, min(pos) AS pos "
+            "FROM lines GROUP BY doc_id, line), "
+            "ld AS (SELECT doc_id, string_agg(line, ' ' ORDER BY pos) "
+            "AS text_dedup FROM firsts GROUP BY doc_id) "
+            "SELECT d.doc_id, md5(d.text) AS fingerprint, ld.text_dedup "
+            "FROM documents d JOIN ld USING (doc_id) ORDER BY d.doc_id"),
         "ann_topk": (
-            "SELECT CAST(row_number() OVER "
+            "SELECT method, CAST(rank AS INT) AS rank, vec_id FROM ("
+            "SELECT 'brute' AS method, row_number() OVER "
             "(ORDER BY list_cosine_similarity(embedding, "
-            "(SELECT embedding FROM embeddings WHERE vec_id = 3)) DESC, vec_id) "
-            "AS INT) AS rank, vec_id FROM embeddings "
-            "ORDER BY rank LIMIT 5"),
+            "(SELECT embedding FROM embeddings WHERE vec_id = 3)) DESC, "
+            "vec_id) AS rank, vec_id FROM embeddings "
+            "UNION ALL "
+            "SELECT 'ivf_full', row_number() OVER "
+            "(ORDER BY list_cosine_similarity(embedding, "
+            "(SELECT embedding FROM embeddings WHERE vec_id = 7)) DESC, "
+            "vec_id), vec_id FROM embeddings) "
+            "WHERE rank <= 5 ORDER BY method, rank"),
         "pricing_summary": (
             "SELECT l_returnflag, l_linestatus, count(*) AS n_rows, "
             "CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty "
             "FROM lineitem "
             "GROUP BY l_returnflag, l_linestatus "
             "ORDER BY l_returnflag, l_linestatus"),
-        "salted_agg": (
-            "SELECT l_returnflag, count(*) AS n_rows, "
-            "CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty "
-            "FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"),
         "set_ops": (
             "SELECT k FROM ("
             "SELECT DISTINCT o_custkey AS k FROM orders "
@@ -1703,21 +1628,18 @@ def oracle_sql() -> dict[str, str]:
         "rollup_orders": (
             # NULLS FIRST: Spark's default asc ordering is nulls-first,
             # DuckDB's is nulls-last — align the rollup marker rows
-            "SELECT o_orderstatus, o_orderpriority, count(*) AS n "
-            "FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority) "
-            "ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST"),
-        "monthly_orders": (
-            "SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month, "
-            "count(*) AS n_orders FROM orders GROUP BY 1 ORDER BY 1"),
-        "json_extract": (
-            "SELECT CAST(floor(CAST(json_extract_string(props, '$.k') "
-            "AS BIGINT) / 10) AS BIGINT) AS k_bucket, count(*) AS n "
-            "FROM events "
-            "GROUP BY 1 ORDER BY 1"),
-        "events_by_type": (
-            "SELECT event_type, count(*) AS n_events, "
+            "SELECT o_orderstatus, month, count(*) AS n FROM ("
+            "SELECT o_orderstatus, "
+            "strftime(o_orderdate, '%Y-%m') AS month "
+            "FROM orders) GROUP BY ROLLUP (o_orderstatus, month) "
+            "ORDER BY o_orderstatus NULLS FIRST, month NULLS FIRST"),
+        "events_json": (
+            "SELECT event_type, "
+            "CAST(floor(CAST(json_extract_string(props, '$.k') "
+            "AS BIGINT) / 10) AS BIGINT) AS k_bucket, "
+            "count(*) AS n_events, "
             "count(DISTINCT user_id) AS n_users FROM events "
-            "GROUP BY event_type ORDER BY event_type"),
+            "GROUP BY event_type, k_bucket ORDER BY event_type, k_bucket"),
         # -- bound-check / invariant oracles (see the sketch + near-dup
         #    query docstrings: the flag columns are structural invariants
         #    of a correct implementation, the data columns exact SQL) --
@@ -1727,32 +1649,44 @@ def oracle_sql() -> dict[str, str]:
             "('fuse32'), ('fuse8'), ('xor16'), ('xor8')) AS t(kind) "
             "ORDER BY kind"),
         "hll_distinct": (
-            "SELECT count(DISTINCT l_orderkey) AS n_exact, "
-            "CAST(1 AS INT) AS within_bound FROM lineitem"),
-        "hll_by_key": (
-            "SELECT l_returnflag, "
+            "SELECT l_returnflag, n_exact, within_bound FROM ("
+            "SELECT '*' AS l_returnflag, "
             "count(DISTINCT l_orderkey) AS n_exact, "
             "CAST(1 AS INT) AS within_bound FROM lineitem "
-            "GROUP BY l_returnflag ORDER BY l_returnflag"),
+            "UNION ALL "
+            "SELECT l_returnflag, count(DISTINCT l_orderkey), "
+            "CAST(1 AS INT) FROM lineitem GROUP BY l_returnflag) "
+            "ORDER BY l_returnflag"),
         "multi_sketch": (
             "SELECT count(l_orderkey) AS n_rows, "
             "count(DISTINCT l_orderkey) AS n_distinct, "
             "CAST(1 AS INT) AS hll_within_bound, "
-            "CAST(1 AS INT) AS kll_n_ok FROM lineitem"),
-        "kll_quantiles": _quantile_rank_oracle(),
-        "tdigest_quantiles": _quantile_rank_oracle(),
-        "cms_heavy_hitters": (
-            "SELECT l_suppkey, count(*) AS true_count, "
-            "CAST(1 AS INT) AS overcount_ok, CAST(1 AS INT) AS bound_ok "
+            "CAST(1 AS INT) AS kll_n_ok, "
+            "(SELECT count(DISTINCT l_orderkey) FROM lineitem "
+            "WHERE l_orderkey IN (SELECT o_orderkey FROM orders)) "
+            "AS n_intersect_exact, "
+            "CAST(1 AS INT) AS theta_within_bound FROM lineitem"),
+        "quantile_sketches": _quantile_rank_oracle(),
+        "heavy_hitters_all": (
+            "SELECT family, key, n_true, flag_a, flag_b FROM ("
+            "SELECT 'cms' AS family, CAST(l_suppkey AS VARCHAR) AS key, "
+            "count(*) AS n_true, CAST(1 AS INT) AS flag_a, "
+            "CAST(1 AS INT) AS flag_b "
             "FROM lineitem GROUP BY l_suppkey "
-            "ORDER BY true_count DESC, l_suppkey LIMIT 5"),
-        "theta_intersection": (
-            "SELECT count(DISTINCT l_orderkey) AS n_exact, "
-            "CAST(1 AS INT) AS within_bound FROM lineitem "
-            "WHERE l_orderkey IN (SELECT o_orderkey FROM orders)"),
+            "ORDER BY n_true DESC, l_suppkey LIMIT 5) "
+            "UNION ALL "
+            "SELECT 'mg', token, n_true, 1, 1 FROM ("
+            "WITH toks AS (SELECT unnest(list_filter("
+            "string_split_regex(lower(text), '[^a-z]+'), x -> x <> '')) "
+            "AS token FROM documents) "
+            "SELECT token, CAST(count(*) AS BIGINT) AS n_true "
+            "FROM toks GROUP BY token "
+            "HAVING count(*) >= (SELECT count(*) // 49 + 1 FROM toks)) "
+            "ORDER BY family, key"),
         "minhash_near_dups": (
             "SELECT CAST(15 AS BIGINT) AS n_planted, "
-            "CAST(15 AS BIGINT) AS n_recovered"),
+            "CAST(15 AS BIGINT) AS n_recovered, "
+            "CAST(15 AS BIGINT) AS n_verified"),
         "simhash_near_dups": (
             "SELECT CAST(15 AS BIGINT) AS n_planted, "
             "CAST(15 AS BIGINT) AS n_recovered"),
@@ -1762,43 +1696,6 @@ def oracle_sql() -> dict[str, str]:
         "ivf_recall": (
             "SELECT CAST(3 AS BIGINT) AS n_queries, CAST(5 AS BIGINT) "
             "AS k, CAST(1 AS INT) AS recall_ok"),
-        "ngram_jaccard": (
-            "SELECT CAST(20 AS BIGINT) AS n_pairs, "
-            "CAST(20 AS BIGINT) AS n_above"),
-        "pipeline_tokens": (
-            "WITH scored AS ("
-            "  SELECT text,"
-            "    CASE WHEN trim(text) = '' THEN 0"
-            "         ELSE len(regexp_split_to_array(trim(text), '\\s+'))"
-            "    END AS n_tokens,"
-            "    length(text) AS n_chars,"
-            "    length(text) - length(regexp_replace(text, "
-            "'[^A-Za-z0-9\\s]', '', 'g')) AS n_punct,"
-            "    len(list_filter(regexp_split_to_array(lower(trim(text)),"
-            " '\\s+'), w -> w IN ('the','a','of','and','to','in','is',"
-            "'for','with','on'))) AS stop_hits"
-            "  FROM documents),"
-            " q AS ("
-            "  SELECT text, n_tokens,"
-            "    (CASE WHEN n_tokens >= 5 AND n_tokens <= 100000 "
-            "THEN 1.0 ELSE 0.2 END) * 0.4"
-            "    + least((CASE WHEN n_tokens > 0 THEN "
-            "CAST(stop_hits AS DOUBLE) / n_tokens ELSE 0.0 END) * 4, 1.0)"
-            " * 0.4"
-            "    + (CASE WHEN (CASE WHEN n_chars > 0 THEN "
-            "CAST(n_punct AS DOUBLE) / n_chars ELSE 0.0 END) < 0.3 "
-            "THEN 1.0 ELSE 0.3 END) * 0.2 AS score"
-            "  FROM scored)"
-            " SELECT count(*) AS n_docs, "
-            "CAST(sum(n_tokens) AS BIGINT) AS total_tokens FROM "
-            "(SELECT text, max(n_tokens) AS n_tokens FROM q "
-            "WHERE score >= 0.7 GROUP BY text)"),
-        "ivf_fullprobe_topk": (
-            "SELECT CAST(row_number() OVER "
-            "(ORDER BY list_cosine_similarity(embedding, "
-            "(SELECT embedding FROM embeddings WHERE vec_id = 7)) DESC, vec_id) "
-            "AS INT) AS rank, vec_id FROM embeddings "
-            "ORDER BY rank LIMIT 5"),
         # the url oracle derives every expected value ANALYTICALLY from
         # the url recipe (it never runs a regex): host/tld/regdom/depth
         # and the canonical normalized form are known by construction,
@@ -1826,33 +1723,28 @@ def oracle_sql() -> dict[str, str]:
             "'[^a-z]+'), x -> x <> '')) AS tok(t)) "
             "GROUP BY token ORDER BY df DESC, token LIMIT 20"),
         "decontamination": (
+            "WITH tok AS (SELECT doc_id, list_filter(string_split_regex("
+            "lower(text), '[^a-z]+'), x -> x <> '') AS tk "
+            "FROM documents), "
+            "grams AS (SELECT doc_id, array_to_string("
+            "tk[CAST(i AS INT) : CAST(i AS INT) + 7], ' ') AS gram "
+            "FROM tok, UNNEST(range(1, len(tk) - 6)) AS u(i)), "
+            "cont AS (SELECT DISTINCT doc_id FROM grams WHERE gram IN "
+            "(SELECT DISTINCT gram FROM grams WHERE doc_id % 10 = 0)) "
             "SELECT CAST((SELECT count(*) FROM documents) AS BIGINT) "
             "AS n_train, "
             "CAST((SELECT count(*) FROM documents WHERE doc_id % 10 = 0) "
             "AS BIGINT) AS n_eval, "
             "CAST((SELECT count(*) FROM documents WHERE md5(text) IN "
             "(SELECT md5(text) FROM documents WHERE doc_id % 10 = 0)) "
-            "AS BIGINT) AS n_contaminated, "
+            "AS BIGINT) AS n_doc_contaminated, "
             "CAST((SELECT count(*) FROM documents WHERE md5(text) NOT IN "
             "(SELECT md5(text) FROM documents WHERE doc_id % 10 = 0)) "
-            "AS BIGINT) AS n_clean"),
-        "heavy_hitters": (
-            "WITH toks AS (SELECT unnest(list_filter("
-            "string_split_regex(lower(text), '[^a-z]+'), x -> x <> '')) "
-            "AS token FROM documents) "
-            "SELECT token, CAST(count(*) AS BIGINT) AS n_exact "
-            "FROM toks GROUP BY token "
-            "HAVING count(*) >= (SELECT count(*) // 49 + 1 FROM toks) "
-            "ORDER BY token"),
-        "line_dedup": (
-            "WITH lines AS (SELECT doc_id, "
-            "unnest(string_split(text, ' ')) AS line, "
-            "unnest(generate_series(1, len(string_split(text, ' ')))) "
-            "AS pos FROM documents), "
-            "firsts AS (SELECT doc_id, line, min(pos) AS pos "
-            "FROM lines GROUP BY doc_id, line) "
-            "SELECT doc_id, string_agg(line, ' ' ORDER BY pos) "
-            "AS text_dedup FROM firsts GROUP BY doc_id ORDER BY doc_id"),
+            "AS BIGINT) AS n_doc_clean, "
+            "CAST((SELECT count(*) FROM cont) AS BIGINT) "
+            "AS n_gram_contaminated, "
+            "CAST((SELECT count(*) FROM documents) - "
+            "(SELECT count(*) FROM cont) AS BIGINT) AS n_gram_clean"),
         "boilerplate_removal": (
             "WITH lines AS (SELECT doc_id, "
             "unnest(string_split(text, ' ')) AS line, "
@@ -1875,13 +1767,6 @@ def oracle_sql() -> dict[str, str]:
             "PARTITION BY lang, source ORDER BY md5(text)) AS rn "
             "FROM documents) t WHERE rn <= 2 "
             "ORDER BY lang, source, doc_id"),
-        "token_diversity": (
-            "SELECT lang, CAST(sum(len(toks)) AS BIGINT) AS sum_tokens, "
-            "CAST(sum(len(list_distinct(toks))) AS BIGINT) "
-            "AS sum_distinct_tokens FROM ("
-            "SELECT lang, list_filter(string_split_regex(lower(text), "
-            "'[^a-z]+'), x -> x <> '') AS toks FROM documents) t "
-            "GROUP BY lang ORDER BY lang"),
         "repetition_signals": (
             "WITH lines AS (SELECT doc_id, string_split(text, ' ') AS ls "
             "FROM documents), "
@@ -2007,19 +1892,6 @@ def oracle_sql() -> dict[str, str]:
             "(SELECT count(*) FROM comps WHERE node <> comp) AS n_nodes) "
             "SELECT comp, n_nodes FROM kept "
             "UNION ALL SELECT comp, n_nodes FROM sizes ORDER BY comp"),
-        "ngram_decontamination": (
-            "WITH tok AS (SELECT doc_id, list_filter(string_split_regex("
-            "lower(text), '[^a-z]+'), x -> x <> '') AS tk "
-            "FROM documents), "
-            "grams AS (SELECT doc_id, array_to_string("
-            "tk[CAST(i AS INT) : CAST(i AS INT) + 7], ' ') AS gram "
-            "FROM tok, UNNEST(range(1, len(tk) - 6)) AS u(i)), "
-            "cont AS (SELECT DISTINCT doc_id FROM grams WHERE gram IN "
-            "(SELECT DISTINCT gram FROM grams WHERE doc_id % 10 = 0)) "
-            "SELECT (SELECT count(*) FROM documents) AS n_train, "
-            "(SELECT count(*) FROM cont) AS n_contaminated, "
-            "(SELECT count(*) FROM documents) - "
-            "(SELECT count(*) FROM cont) AS n_clean"),
         "token_budget_mix": (
             "WITH ranked AS (SELECT doc_id, source, n_chars, "
             "CASE source WHEN 'src0' THEN 400 WHEN 'src2' THEN 700 "
@@ -2071,27 +1943,35 @@ def oracle_sql() -> dict[str, str]:
             + ", ".join(str(row) for row in _expected_audio_quants(20))
             + ") AS t(media_id, q0, q1, q2, q3) ORDER BY media_id"),
         "corpus_diff": (
+            # diff rows: status buckets from the (id, md5) full-outer
+            # join — IS NOT DISTINCT FROM mirrors the operator's
+            # eqNullSafe (diff.py): a null-text doc present in both
+            # snapshots is 'unchanged', not 'changed'.  update rows:
+            # full recompute over the new snapshot — equals the
+            # incremental diff-driven path by the carried-verdict
+            # invariant (unchanged rows are byte-identical)
             "WITH o AS (SELECT doc_id, md5(text) AS f FROM documents "
             "WHERE doc_id % 13 != 0), "
             "n AS (SELECT doc_id, md5(CASE WHEN doc_id % 7 = 0 THEN "
             "text || '!' ELSE text END) AS f FROM documents "
             "WHERE doc_id % 11 != 0), "
             "j AS (SELECT o.f AS fo, n.f AS fn FROM o "
-            "FULL OUTER JOIN n ON o.doc_id = n.doc_id) "
-            "SELECT CASE WHEN fo IS NULL THEN 'added' "
+            "FULL OUTER JOIN n ON o.doc_id = n.doc_id), "
+            "d AS (SELECT CASE WHEN fo IS NULL THEN 'added' "
             "WHEN fn IS NULL THEN 'removed' "
-            "WHEN fo = fn THEN 'unchanged' ELSE 'changed' END AS status, "
-            "count(*) AS n FROM j GROUP BY 1 ORDER BY 1"),
-        "incremental_update": (
-            # full recompute over the new snapshot: equals the
-            # incremental diff-driven path by the carried-verdict
-            # invariant (unchanged rows are byte-identical)
-            "SELECT lang, count(*) AS n_kept, "
+            "WHEN fo IS NOT DISTINCT FROM fn THEN 'unchanged' "
+            "ELSE 'changed' END AS bucket, "
+            "count(*) AS n, CAST(0 AS BIGINT) AS sum_chars "
+            "FROM j GROUP BY 1), "
+            "u AS (SELECT lang AS bucket, count(*) AS n, "
             "CAST(sum(length(text)) AS BIGINT) AS sum_chars FROM ("
             "SELECT lang, CASE WHEN doc_id % 7 = 0 THEN text || '!' "
             "ELSE text END AS text FROM documents "
             "WHERE doc_id % 11 != 0) WHERE length(text) >= 200 "
-            "GROUP BY lang ORDER BY lang"),
+            "GROUP BY lang) "
+            "SELECT bucket, n, sum_chars FROM d "
+            "UNION ALL SELECT bucket, n, sum_chars FROM u "
+            "ORDER BY bucket"),
         "zorder_layout": _zorder_oracle_sql(),
         "crawl_frontier": (
             "WITH u AS (SELECT o_orderkey AS prio, "
@@ -2152,8 +2032,7 @@ def oracle_sql() -> dict[str, str]:
             "FROM s GROUP BY 1 ORDER BY 1"),
         "bm25_topk": _bm25_oracle_sql(_BM25_QUERY_TERMS, k=10),
         "link_pagerank": _pagerank_oracle_sql(),
-        "kmv_distinct_tokens": _kmv_distinct_oracle_sql(),
-        "kmv_jaccard_sources": _kmv_jaccard_oracle_sql(),
+        "kmv_sketches": _kmv_sketches_oracle_sql(),
         "ams_f2_tokens": _ams_f2_oracle_sql(),
         "priority_sample_sources": _priority_sample_oracle_sql(),
         "pack_sequences": _pack_sequences_oracle_sql(),

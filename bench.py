@@ -86,12 +86,41 @@ def main() -> None:
             os.remove(_worklock)
     except OSError:
         pass
-    _own_lock = not os.path.exists(_worklock)
-    if _own_lock:
+    # atomic acquisition (O_CREAT|O_EXCL): two racing bench runs can't
+    # both think they own it; if another holder exists, wait a bounded
+    # 10 min for release, then proceed LOUDLY un-owned (a bench that
+    # never runs is worse than one with a contamination-counter note —
+    # every suite run records per-run steal anyway)
+    _own_lock = False
+    _t0 = time.time()
+    while True:
         try:
-            open(_worklock, "w").close()
+            os.close(os.open(_worklock, os.O_CREAT | os.O_EXCL | os.O_WRONLY))
+            _own_lock = True
+            break
+        except FileExistsError:
+            if time.time() - _t0 > 600:
+                print(f"bench: worklock {_worklock} held by another "
+                      "process for >10min; proceeding WITHOUT ownership "
+                      "(timings may interleave with that work)",
+                      file=sys.stderr)
+                break
+            time.sleep(10)
         except OSError:
-            _own_lock = False
+            break
+    # refresh the lock mtime every 10 min from a daemon thread so a
+    # >2h bench run isn't reaped by the stale-lock sweep above
+    if _own_lock:
+        import threading
+
+        def _refresh() -> None:
+            while _own_lock:
+                time.sleep(600)
+                try:
+                    os.utime(_worklock, None)
+                except OSError:
+                    return
+        threading.Thread(target=_refresh, daemon=True).start()
     # an already-FIRING pair holds /tmp/ff_pairlock for ~5-7 min; wait
     # it out (bounded) rather than stomping its measurement
     _t0 = time.time()
@@ -102,6 +131,7 @@ def main() -> None:
         _main_inner()
     finally:
         if _own_lock:
+            _own_lock = False
             try:
                 os.remove(_worklock)
             except OSError:
@@ -520,10 +550,11 @@ def _main_inner() -> None:
                 for p in os.environ.get("CALM_SYNC_BASELINES",
                                         "").split(",") if ":" in p}
             base = _sync_base.get(lv.get("cpus"))
-            sync_ok = (base is None
-                       or lv.get("sync_krps_during_best_build", 0)
-                       >= float(os.environ.get("CALM_SYNC_FRACTION",
-                                               "0.5")) * base)
+            # 0.0/absent = probe-unavailable sentinel, not contamination
+            _sync = lv.get("sync_krps_during_best_build") or 0.0
+            sync_ok = (base is None or _sync <= 0.0
+                       or _sync >= float(os.environ.get(
+                           "CALM_SYNC_FRACTION", "0.5")) * base)
             return (lv["steal_cpu_s_during_best_build"] <= 1
                     and lv.get("external_busy_cpu_s_during_best_build",
                                99) <= 2.5

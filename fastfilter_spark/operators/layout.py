@@ -134,7 +134,15 @@ def zorder_cluster(df: DataFrame, cols: list[str], bits: int = 8,
     shape whose per-file min/max tightens on every clustered column.
     ``num_partitions`` defaults to the session shuffle parallelism."""
     keyed = zorder_key(df, cols, bits)
-    parts = num_partitions or int(
-        df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    if num_partitions is None:
+        # the conf may be non-numeric on some platforms (e.g. "auto"
+        # under Databricks AQE) — fall back to the cluster default
+        try:
+            parts = int(
+                df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+        except (TypeError, ValueError):
+            parts = df.sparkSession.sparkContext.defaultParallelism
+    else:
+        parts = num_partitions
     return (keyed.repartitionByRange(parts, F.col("zkey"))
             .sortWithinPartitions("zkey"))

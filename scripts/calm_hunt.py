@@ -117,9 +117,12 @@ def settled(lv: dict, spin_max: float) -> bool:
     """bench.py's three-counter clean-best-build criterion (plus the
     opt-in sync floor above)."""
     base = _SYNC_BASELINES.get(lv.get("cpus"))
-    sync_ok = (base is None
-               or lv.get("sync_krps_during_best_build", 0)
-               >= _SYNC_FRACTION * base)
+    # 0.0/absent is scaling_bench's "probe unavailable" sentinel, not a
+    # measured-low rate — gating on it would make settled() fail every
+    # attempt for the whole session if the barrier probe breaks
+    _sync = lv.get("sync_krps_during_best_build") or 0.0
+    sync_ok = (base is None or _sync <= 0.0
+               or _sync >= _SYNC_FRACTION * base)
     return (lv["steal_cpu_s_during_best_build"] <= 1
             and lv.get("external_busy_cpu_s_during_best_build", 99) <= 2.5
             and lv.get("lost_cpu_s_during_best_build", 99)
