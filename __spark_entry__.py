@@ -1008,14 +1008,20 @@ def q_ams_f2_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _ams_f2_oracle_sql(width: int = 256, depth: int = 5) -> str:
+    # Mirrors operators/moments.py hash economy: ONE md5 digest per key
+    # serves 8 rows; row i reads 16-bit field at hex chars [1+4*(i%8),4]
+    # of digest i//8 (digest 0 unsalted, digest j>0 salted 'key:j');
+    # bucket = top 15 bits mod width, sign = low bit.
+    assert depth <= 8, "oracle mirror written for the single-digest case"
     med_off = (depth - 1) // 2
     return (
         f"WITH {_KMV_TOK_CTE}, "
-        "hs AS (SELECT i.i AS row, ('0x' || substr(md5(token || ':' || "
-        "CAST(i.i AS VARCHAR)), 1, 15))::BIGINT AS h FROM tok, "
+        "dg AS (SELECT md5(token) AS d FROM tok), "
+        "hs AS (SELECT i.i AS row, "
+        "('0x' || substr(d, 1 + 4 * i.i, 4))::BIGINT AS f FROM dg, "
         f"(SELECT unnest(range({depth})) AS i) AS i(i)), "
-        f"sk AS (SELECT row, h % {width} AS bucket, "
-        f"SUM(1 - 2 * ((h // {1 << 59}) % 2)) AS c "
+        f"sk AS (SELECT row, (f // 2) % {width} AS bucket, "
+        "SUM(1 - 2 * (f % 2)) AS c "
         "FROM hs GROUP BY 1, 2), "
         "per AS (SELECT row, SUM(CAST(c AS HUGEINT) * c) AS row_est "
         "FROM sk GROUP BY 1), "

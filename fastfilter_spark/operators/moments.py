@@ -18,11 +18,12 @@ arithmetic).
 
 Like operators/kmv.py this is deliberately NOT the byte-blob sketch
 (functions/sketches.py:AMS serves streaming/multi-sketch folds): the
-DataFrame form keeps the whole plan in JVM codegen — md5 hashing,
-sign/bucket arithmetic, two map-side-combined aggregations — with no
-Python in the hot path, and its portable 60-bit md5 hash makes the
-result bit-reproducible in any SQL engine (the driver's DuckDB oracle
-runs the same algebra verbatim).
+DataFrame form keeps the whole plan in JVM codegen — ONE md5
+digest per key sliced into per-row bit fields, sign/bucket arithmetic,
+two map-side-combined aggregations — with no Python in the hot path,
+and the portable md5-substring hash makes the result bit-reproducible
+in any SQL engine (the driver's DuckDB oracle runs the same algebra
+verbatim).
 
 The reference (FastFilter/xor_singleheader) has no moment sketches;
 this extends the library's mergeable-sketch family per
@@ -38,39 +39,54 @@ from pyspark.sql import functions as F
 __all__ = ["ams_f2_counters", "ams_f2"]
 
 
-def _h60(col) -> "F.Column":
-    """The engine-portable 60-bit hash (operators/kmv.py semantics)."""
-    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
-
-
 def ams_f2_counters(df: DataFrame, key_col: str, width: int = 256,
                     depth: int = 5) -> DataFrame:
     """The sketch itself as a DataFrame: ``(row, bucket, c)`` with
     ``c = sum of signs`` — at most ``depth * width`` rows regardless of
     input size.  Buckets nobody hit are absent (their counter is 0).
 
-    Plan shape: one projection computes all ``depth`` hashes per key
-    (JVM codegen), ``explode`` fans them out, and ONE hash aggregation
-    with map-side partial sums reduces to the counter table.  Null keys
-    are ignored (contribute to no counter), matching the null policy of
-    every other sketch here.
+    Hash economy: ONE md5 digest serves up to 8 sketch rows — the
+    128-bit digest is sliced into disjoint 16-bit hex fields (4 hex
+    chars each), and each field yields a row's bucket (its top 15 bits,
+    ``pmod width``) and sign (its low bit).  Only every 9th row costs
+    another md5 (salted ``key:j``), so the default depth=5 pays 1 md5
+    per key instead of 5.  The digest is physically named in its own
+    projection, so the cost model does not depend on codegen
+    subexpression elimination.  Distinct md5 output bits are
+    independent, so bucket/sign within and across rows are too; the
+    bucket is exactly uniform whenever width divides 2^15 and has
+    relative bias <= width/2^15 otherwise.
+
+    Plan shape: a first projection computes the digest(s) per key (JVM
+    codegen), a second slices fields and ``explode`` fans them out, and
+    ONE hash aggregation with map-side partial sums reduces to the
+    counter table.  Null keys are ignored (contribute to no counter),
+    matching the null policy of every other sketch here.
     """
     if width < 2 or depth < 1:
         raise ValueError("need width >= 2, depth >= 1")
+    if width > 32768:
+        raise ValueError("width > 2^15 exceeds the per-row bucket field")
     k = F.col(key_col).cast("string")
+    ndig = (depth + 7) // 8
+    digests = [
+        F.md5(k if j == 0 else F.concat(k, F.lit(f":{j}")))
+         .alias(f"_d{j}") for j in range(ndig)]
+    # 16-bit field for row i: hex chars [1+4*(i%8), 4] of digest i//8
+    fields = {
+        i: F.conv(F.substring(F.col(f"_d{i // 8}"), 1 + 4 * (i % 8), 4),
+                  16, 10).cast("long")
+        for i in range(depth)}
     rows = F.array(*[
         F.struct(
             F.lit(i).alias("row"),
-            F.pmod(_h60(F.concat(k, F.lit(f":{i}"))), F.lit(width))
+            F.pmod(F.shiftrightunsigned(fields[i], 1), F.lit(width))
              .alias("bucket"),
-            # bit 59 (the hash's top bit) decides the sign; bucket uses
-            # the low bits via pmod, so sign and bucket are independent
-            (F.lit(1) - F.lit(2) * F.pmod(
-                F.shiftrightunsigned(
-                    _h60(F.concat(k, F.lit(f":{i}"))), 59),
-                F.lit(2))).alias("sign"),
+            (F.lit(1) - F.lit(2) * F.pmod(fields[i], F.lit(2)))
+            .alias("sign"),
         ) for i in range(depth)])
     return (df.where(F.col(key_col).isNotNull())
+            .select(*digests)
             .select(F.explode(rows).alias("e"))
             .groupBy(F.col("e.row").alias("row"),
                      F.col("e.bucket").alias("bucket"))

@@ -84,18 +84,20 @@ def test_ams_in_multi_sketch_column(spark):
 
 # -- DataFrame algebra form --------------------------------------------------
 
-def _h60(s: str) -> int:
-    return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
-
-
 def _py_ams_f2(keys, width: int, depth: int) -> int:
-    """Pure-python replay of the portable-hash DataFrame estimator."""
+    """Pure-python replay of the portable-hash DataFrame estimator:
+    one md5 digest covers 8 rows (16-bit hex fields); digest j > 0 is
+    salted ``key:j``; bucket = field >> 1 mod width, sign = low bit."""
     table = [[0] * width for _ in range(depth)]
     for key in keys:
+        digests = {}
         for i in range(depth):
-            h = _h60(f"{key}:{i}")
-            sign = 1 - 2 * ((h >> 59) % 2)
-            table[i][h % width] += sign
+            j = i // 8
+            if j not in digests:
+                s = key if j == 0 else f"{key}:{j}"
+                digests[j] = hashlib.md5(s.encode()).hexdigest()
+            f = int(digests[j][4 * (i % 8):4 * (i % 8) + 4], 16)
+            table[i][(f >> 1) % width] += 1 - 2 * (f % 2)
     ests = sorted(sum(c * c for c in row) for row in table)
     return ests[(depth - 1) // 2]
 
@@ -106,6 +108,14 @@ def test_ams_f2_matches_python_replay(spark):
     row = ams_f2(df, "key", width=32, depth=5).collect()[0]
     assert row.f2_est == _py_ams_f2(keys, 32, 5)
     assert (row.width, row.depth) == (32, 5)
+
+
+def test_ams_f2_multi_digest_depth(spark):
+    # depth > 8 crosses into the second (salted) md5 digest
+    keys = [f"k{i % 19}" for i in range(300)]
+    df = spark.createDataFrame([(s,) for s in keys], "key string")
+    row = ams_f2(df, "key", width=16, depth=11).collect()[0]
+    assert row.f2_est == _py_ams_f2(keys, 16, 11)
 
 
 def test_ams_f2_partition_invariant_and_accurate(spark):
