@@ -58,11 +58,37 @@ def _q(name: str):
     return F.expr("`" + name.replace("`", "``") + "`")
 
 
+def _bucket_id(dt, tcol: Column, width: float | int) -> Column:
+    """Floor-division time bucket, exact integer arithmetic where the
+    time is integral: ``(t - pmod(t, w)) / w`` is a true floor for
+    negative times too (pmod is non-negative), unlike SQL ``DIV`` which
+    truncates toward zero.  ``width`` is in the column's own units for
+    numeric times, SECONDS for timestamp kinds, DAYS for dates.
+    Timestamp_NTZ uses wall-clock timestampdiff, not a timezone cast
+    (sessions.py:56 precedent — a cast would shift across DST)."""
+    from pyspark.sql.types import (DateType, TimestampNTZType,
+                                   TimestampType)
+    if width <= 0:
+        raise ValueError("bucket width must be positive")
+    if isinstance(dt, TimestampType):
+        n, w = F.unix_micros(tcol), int(round(width * 1_000_000))
+    elif isinstance(dt, TimestampNTZType):
+        n = F.expr("timestampdiff(MICROSECOND, "
+                   "TIMESTAMP_NTZ'1970-01-01 00:00:00', _ff_t)")
+        w = int(round(width * 1_000_000))
+    elif isinstance(dt, DateType):
+        n, w = F.unix_date(tcol), width
+    else:
+        n, w = tcol, width
+    return ((n - F.pmod(n, F.lit(w))) / F.lit(w)).cast("long")
+
+
 def asof_join(left: DataFrame, right: DataFrame, on: str,
               left_time: str, right_time: str,
               right_cols: list[str] | None = None,
               suffix: str = "_r",
-              tolerance: Column | None = None) -> DataFrame:
+              tolerance: Column | None = None,
+              bucket: float | int | None = None) -> DataFrame:
     """Left as-of join: every ``left`` row plus the ``right_cols`` of
     the newest ``right`` row with ``right[right_time] <=
     left[left_time]`` on the same ``on`` key (inclusive; ties take
@@ -75,6 +101,20 @@ def asof_join(left: DataFrame, right: DataFrame, on: str,
     ``tolerance``: optional INTERVAL Column — matches where
     ``left_time - right_time > tolerance`` are nulled out (the match
     existed but is too stale).
+
+    ``bucket``: hot-key mitigation.  The default window serializes each
+    key's rows into ONE partition — correct, but a key holding 90% of
+    the input runs on one core.  With ``bucket`` set, the window is
+    keyed by ``(on, time_bucket)`` instead, so a hot key parallelizes
+    across its time range, at the price of a two-step plan: a bucket-
+    level summary window (one row per (key, occupied bucket)) carries
+    each bucket's newest right payload into the NEXT bucket as a seed
+    row, then the main window runs within ``(key, bucket)`` partitions.
+    Results are identical to the unbucketed path (same tie-breaks).
+    ``bucket`` is a width: in the time column's own units for numeric
+    times, in SECONDS for timestamp/timestamp_ntz columns.  Pick it so
+    a hot key's densest bucket still fits one task — e.g. hourly
+    buckets for a crawl that fetches a dominant host all day.
     """
     if right_cols is None:
         right_cols = [c for c in right.columns
@@ -86,7 +126,7 @@ def asof_join(left: DataFrame, right: DataFrame, on: str,
         raise ValueError(
             f"suffixed right columns {sorted(clash)} collide with left "
             f"columns; pass a different suffix")
-    for rc in (_TAG, "_ff_t", "_ff_payload", "_ff_m"):
+    for rc in (_TAG, "_ff_t", "_ff_payload", "_ff_m", "_ff_bkt", "_ff_s"):
         if rc in left.columns or rc in right.columns:
             raise ValueError(
                 f"reserved column {rc!r} present in input; rename it")
@@ -136,16 +176,71 @@ def asof_join(left: DataFrame, right: DataFrame, on: str,
             return all(_orderable(f.dataType) for f in dt.fields)
         return True
 
-    order = [F.col("_ff_t").asc(), F.col(_TAG).asc()]
-    if _orderable(r.schema["_ff_payload"].dataType):
+    payload_orderable = _orderable(r.schema["_ff_payload"].dataType)
+    # nulls-first is Spark's asc default; explicit because the bucketed
+    # path RELIES on it (seed rows carry a null time and must sort
+    # before every real row in their bucket)
+    order = [F.col("_ff_t").asc_nulls_first(), F.col(_TAG).asc()]
+    if payload_orderable:
         order.append(F.col("_ff_payload").asc())
-    w = (Window.partitionBy(_q(on))
-         .orderBy(*order)
-         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
-    matched = (unioned
-               .withColumn("_ff_m",
-                           F.last("_ff_payload", ignorenulls=True).over(w))
-               .where(F.col(_TAG) == 1))
+
+    if bucket is None:
+        w = (Window.partitionBy(_q(on))
+             .orderBy(*order)
+             .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        matched = (unioned
+                   .withColumn("_ff_m",
+                               F.last("_ff_payload",
+                                      ignorenulls=True).over(w))
+                   .where(F.col(_TAG) == 1))
+    else:
+        unioned = unioned.withColumn(
+            "_ff_bkt", _bucket_id(unioned.schema["_ff_t"].dataType,
+                                  F.col("_ff_t"), bucket))
+        # bucket-level carry: one summary row per (key, right-occupied
+        # bucket) — the newest right (time, payload) struct in that
+        # bucket — then a window over the OCCUPIED buckets (left or
+        # right) carries the newest summary from strictly earlier
+        # buckets forward as that bucket's seed.  Every frame here is
+        # bucket-granular: a hot key contributes one row per bucket,
+        # not per input row.
+        if payload_orderable:
+            newest = F.max(F.struct("_ff_t", "_ff_payload")) \
+                      .getField("_ff_payload")
+        else:
+            # same arbitrary-among-equal-times caveat as the main
+            # window's tie-break (docstring above)
+            newest = F.max_by("_ff_payload", "_ff_t")
+        rsum = (unioned.where(F.col(_TAG) == 0)
+                .groupBy(_q(on), "_ff_bkt")
+                .agg(newest.alias("_ff_s")))
+        occupied = unioned.select(_q(on).alias(on), "_ff_bkt").distinct()
+        wseed = (Window.partitionBy(_q(on)).orderBy("_ff_bkt")
+                 .rowsBetween(Window.unboundedPreceding, -1))
+        seeds = (occupied.join(rsum, [on, "_ff_bkt"], "left")
+                 .select(_q(on).alias(on), "_ff_bkt",
+                         F.last("_ff_s", ignorenulls=True).over(wseed)
+                          .alias("_ff_payload"))
+                 .where(F.col("_ff_payload").isNotNull()))
+        # seed -> synthetic right row at the bucket's start: null time
+        # sorts first (asc_nulls_first), so any real right row in the
+        # bucket overrides it and a left row with no in-bucket
+        # predecessor falls back to it
+        seed_rows = seeds.select(
+            _q(on).alias(on), "_ff_bkt", "_ff_payload",
+            F.lit(None).cast(unioned.schema["_ff_t"].dataType)
+             .alias("_ff_t"),
+            F.lit(0).alias(_TAG),
+            *[F.lit(None).cast(left.schema[c].dataType).alias(c)
+              for c in left.columns if c != on])
+        w = (Window.partitionBy(_q(on), F.col("_ff_bkt"))
+             .orderBy(*order)
+             .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        matched = (unioned.unionByName(seed_rows)
+                   .withColumn("_ff_m",
+                               F.last("_ff_payload",
+                                      ignorenulls=True).over(w))
+                   .where(F.col(_TAG) == 1))
     # getField resolves names literally — F.col("_ff_m.meta.ts") would
     # parse the dots as nested struct access (layout.py precedent)
     if tolerance is not None:

@@ -142,3 +142,73 @@ def test_dotted_carried_column_names(spark):
         .withColumnRenamed("v", "meta.v"))
     got = asof_join(left, right, "k", "t", "rt").collect()[0]
     assert got["meta.v_r"] == 7 and got["rt_r"] == _ts(3)
+
+
+# -- hot-key bucketed path ----------------------------------------------------
+
+def test_bucketed_matches_unbucketed_under_skew(spark):
+    # one key holds 90% of both sides; the others share the rest
+    rows_l = [((0 if i % 10 else i % 4 + 1), _ts(i % 55), i)
+              for i in range(400)]
+    rows_r = [((0 if i % 10 else i % 4 + 1), _ts((i * 7) % 50), i * 10)
+              for i in range(150)]
+    left = spark.createDataFrame(rows_l, "k long, t timestamp, lid long")
+    right = spark.createDataFrame(rows_r, "k long, rt timestamp, rv long")
+    base = (asof_join(left, right, "k", "t", "rt")
+            .orderBy("lid").collect())
+    # 300-second buckets split the hour of data ~11 ways
+    bkt = (asof_join(left, right, "k", "t", "rt", bucket=300)
+           .orderBy("lid").collect())
+    assert bkt == base
+
+
+def test_bucketed_plan_exchanges_on_key_and_bucket(sides):
+    left, right = sides
+    plan = (asof_join(left, right, "k", "t", "rt", bucket=60)
+            ._jdf.queryExecution().executedPlan().toString())
+    # the main window's exchange is keyed by (k, _ff_bkt): the hot key
+    # parallelizes across its time buckets
+    assert "hashpartitioning(k" in plan and "_ff_bkt" in plan.split(
+        "hashpartitioning(k", 1)[1].split(")", 1)[0]
+
+
+def test_bucketed_seed_carries_across_empty_buckets(spark):
+    # right rows exist ONLY in the first minute; left rows hours later
+    # in buckets with no right rows must still match via the seed carry
+    left = spark.createDataFrame(
+        [(1, _ts(40), "late"), (1, _ts(1), "early")],
+        "k long, t timestamp, lv string")
+    right = spark.createDataFrame(
+        [(1, _ts(0), 10), (1, _ts(2), 20)],
+        "k long, rt timestamp, rv long")
+    got = {r["lv"]: r["rv_r"]
+           for r in asof_join(left, right, "k", "t", "rt",
+                              bucket=60).collect()}
+    assert got == {"late": 20, "early": 10}
+
+
+def test_bucketed_numeric_time_and_tolerance(spark):
+    left = spark.createDataFrame(
+        [(1, 100, "a"), (1, 7, "b"), (1, -5, "c")],
+        "k long, t long, lv string")
+    right = spark.createDataFrame(
+        [(1, 6, 60), (1, 90, 900), (1, -9, -90)],
+        "k long, rt long, rv long")
+    for b in (None, 10, 64):
+        got = {r["lv"]: r["rv_r"]
+               for r in asof_join(left, right, "k", "t", "rt",
+                                  bucket=b).collect()}
+        assert got == {"a": 900, "b": 60, "c": -90}, f"bucket={b}"
+
+
+def test_bucketed_null_times_and_map_payload(spark):
+    left = spark.createDataFrame(
+        [(1, _ts(5), "a"), (1, None, "b")],
+        "k long, t timestamp, lv string")
+    right = spark.createDataFrame(
+        [(1, None, None), (1, _ts(3), {"ua": "deny"})],
+        "k long, rt timestamp, rules map<string,string>")
+    got = {r["lv"]: r["rules_r"]
+           for r in asof_join(left, right, "k", "t", "rt",
+                              bucket=60).collect()}
+    assert got == {"a": {"ua": "deny"}, "b": None}
