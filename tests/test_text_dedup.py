@@ -206,6 +206,72 @@ def test_pairwise_topk_join(spark, embeddings):
     assert all(r["q_id"] == r["vec_id"] for r in best.collect())
 
 
+def _find_parquet_scan(node):
+    """Walk a physical plan across AQE wrappers/query stages (which are
+    leaves holding an inner .plan()/.executedPlan()) to the file scan."""
+    if "parquet" in node.nodeName().lower():
+        return node
+    for meth in ("executedPlan", "plan"):
+        try:
+            found = _find_parquet_scan(getattr(node, meth)())
+        except Exception:
+            found = None
+        if found is not None:
+            return found
+    ch = node.children()
+    for i in range(ch.size()):
+        found = _find_parquet_scan(ch.apply(i))
+        if found is not None:
+            return found
+    return None
+
+
+def _scan_metrics(df):
+    """(numFiles, numPartitions) of the executed plan's parquet scan."""
+    df.collect()
+    scan = _find_parquet_scan(df._jdf.queryExecution().executedPlan())
+    assert scan is not None, "no parquet scan in plan"
+    m = scan.metrics()
+    return (m.apply("numFiles").value(),
+            m.apply("numPartitions").value())
+
+
+def test_ivf_batch_search_prunes_partitions_and_matches_search(
+        spark, embeddings, tmp_path):
+    ncells, nprobe = 8, 2
+    idx = IVFIndex.fit(embeddings, ncells=ncells, sample_rows=600)
+    path = str(tmp_path / "ivf")
+    # the scale layout the index prescribes: cell as the partition key
+    idx.assign(embeddings).write.partitionBy("cell").parquet(path)
+    table = spark.read.parquet(path)
+
+    qrows = embeddings.limit(3).collect()
+    queries = spark.createDataFrame(
+        [(r["vec_id"], list(r["embedding"])) for r in qrows],
+        "q_id long, q_vec array<float>")
+    out = idx.batch_search(table, queries, k=5, nprobe=nprobe)
+
+    # 1) per-query results identical to the per-query search path
+    got = {(r["q_id"], r["vec_id"]): r["cosine"] for r in out.collect()}
+    for r in qrows:
+        per_q = idx.search(table, list(r["embedding"]), k=5,
+                           nprobe=nprobe).collect()
+        # numpy BLAS vs the JVM fold sum in a different order: scores
+        # agree to float tolerance, membership and ranking exactly
+        for x in per_q:
+            assert abs(got[(r["vec_id"], x["vec_id"])]
+                       - x["cosine"]) < 1e-6
+        assert len([1 for (q, _) in got if q == r["vec_id"]]) == len(per_q)
+
+    # 2) the scan reads ONLY the union of the queries' probe cells —
+    #    file count drops by ~ncells/nprobe on the partitioned table
+    full_files, total_parts = _scan_metrics(table)
+    assert total_parts == ncells
+    pruned_files, pruned_parts = _scan_metrics(out)
+    assert nprobe <= pruned_parts <= 3 * nprobe  # union over 3 queries
+    assert pruned_files <= full_files * pruned_parts / ncells + 1e-9
+
+
 # -- multimodal --------------------------------------------------------------
 
 def test_multimodal_plumbing(spark):
