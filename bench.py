@@ -345,6 +345,16 @@ def _main_inner() -> None:
               ["o_custkey", "o_orderkey"], bits=8)
           .agg(F.max("zkey")).collect())
 
+    # 5c. pipeline operators that previously had correctness oracles
+    # but NO suite timing (regressions there were invisible): timed
+    # through the SAME registered queries the correctness driver runs,
+    # so the measured plan is exactly the audited one.
+    import __spark_entry__ as _entry
+    _qreg = _entry.queries()
+    for _qname in ("bm25_topk", "link_pagerank", "corpus_funnel"):
+        timed(_qname,
+              lambda qn=_qname: _qreg[qn](spark, sf_dir).collect())
+
     # 6. ANN over embeddings
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     qvec = list(emb.limit(1).collect()[0]["embedding"])
