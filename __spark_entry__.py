@@ -229,10 +229,13 @@ def q_doc_transforms(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Both exact ANN paths in one slot: brute-force cosine top-5 for
-    query vec 3, and IVF with nprobe == ncells (degenerates to exact
-    search) for query vec 7 — each fully SQL-checkable, labeled by a
-    ``method`` column."""
+    """Every exact ANN path in one slot, labeled by a ``method``
+    column: brute-force cosine top-5 for query vec 3, per-query IVF
+    with nprobe == ncells (degenerates to exact search) for vec 7, and
+    the BATCH IVF path (``batch_search``, broadcast query batch +
+    probe-cell mask) for both vectors at nprobe == ncells — rows
+    ``ivf_batch_q3`` / ``ivf_batch_q7`` must equal the single-query
+    paths' rankings, which the shared SQL oracle recomputes exactly."""
     from pyspark.sql import Window
 
     from fastfilter_spark.operators.similarity import (
@@ -250,7 +253,18 @@ def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     assigned = idx.assign(emb)
     qv7 = list(emb.where(F.col("vec_id") == 7).first()["embedding"])
     ivf = ranked(idx.search(assigned, qv7, k=5, nprobe=8), "ivf_full")
-    return brute.unionByName(ivf).orderBy("method", "rank")
+
+    queries = emb.where(F.col("vec_id").isin([3, 7])).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec"))
+    wb = Window.partitionBy("q_id").orderBy(F.desc("cosine"),
+                                            F.col("vec_id"))
+    batch = (idx.batch_search(assigned, queries, k=5, nprobe=8)
+             .withColumn("rank", F.row_number().over(wb))
+             .select(F.concat(F.lit("ivf_batch_q"),
+                              F.col("q_id").cast("string"))
+                     .alias("method"), "rank", "vec_id"))
+    return (brute.unionByName(ivf).unionByName(batch)
+            .orderBy("method", "rank"))
 
 
 # ---------------------------------------------------------------------------
@@ -1358,9 +1372,12 @@ def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     blowup — operators/asof.py), staleness in exact integer
     microseconds (timestampdiff on NTZ operands, timezone-independent;
     sessions.py precedent).  Unmatched rows surface as -1 so the hash
-    compares integers, never NaN renderings.  The oracle is DuckDB's
-    NATIVE ASOF LEFT JOIN — an independent implementation of the same
-    greatest-lower-bound semantics."""
+    compares integers, never NaN renderings.  BOTH execution paths run
+    against the oracle — the default per-key window AND the hot-key
+    bucketed window (bucket=3600 s), which must produce identical rows
+    by construction.  The oracle is DuckDB's NATIVE ASOF LEFT JOIN —
+    an independent implementation of the same greatest-lower-bound
+    semantics — selected once per path label."""
     from fastfilter_spark.operators.asof import asof_join
     ev = _t(spark, sf_dir, "events")
     purchases = (ev.where(F.col("event_type") == "purchase")
@@ -1368,15 +1385,20 @@ def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
                          F.col("event_id").alias("purchase_id")))
     clicks = (ev.where(F.col("event_type") == "click")
               .select("user_id", "ts", "event_id"))
-    out = asof_join(purchases, clicks, "user_id", "ts", "ts",
-                    right_cols=["event_id"])
-    return (out.select(
-        "purchase_id",
-        F.coalesce(F.col("event_id_r"), F.lit(-1)).alias("click_id"),
-        F.coalesce(
-            F.expr("timestampdiff(MICROSECOND, ts_r, ts)"),
-            F.lit(-1)).cast("long").alias("staleness_us"))
-        .orderBy("purchase_id"))
+
+    def _run(path: str, bucket):
+        out = asof_join(purchases, clicks, "user_id", "ts", "ts",
+                        right_cols=["event_id"], bucket=bucket)
+        return out.select(
+            F.lit(path).alias("path"),
+            "purchase_id",
+            F.coalesce(F.col("event_id_r"), F.lit(-1)).alias("click_id"),
+            F.coalesce(
+                F.expr("timestampdiff(MICROSECOND, ts_r, ts)"),
+                F.lit(-1)).cast("long").alias("staleness_us"))
+
+    return (_run("window", None).unionByName(_run("bucketed", 3600))
+            .orderBy("path", "purchase_id"))
 
 
 def q_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1602,6 +1624,18 @@ def oracle_sql() -> dict[str, str]:
             "vec_id) AS rank, vec_id FROM embeddings "
             "UNION ALL "
             "SELECT 'ivf_full', row_number() OVER "
+            "(ORDER BY list_cosine_similarity(embedding, "
+            "(SELECT embedding FROM embeddings WHERE vec_id = 7)) DESC, "
+            "vec_id), vec_id FROM embeddings "
+            "UNION ALL "
+            # batch IVF at nprobe == ncells degenerates to the same
+            # exact ranking per query vector
+            "SELECT 'ivf_batch_q3', row_number() OVER "
+            "(ORDER BY list_cosine_similarity(embedding, "
+            "(SELECT embedding FROM embeddings WHERE vec_id = 3)) DESC, "
+            "vec_id), vec_id FROM embeddings "
+            "UNION ALL "
+            "SELECT 'ivf_batch_q7', row_number() OVER "
             "(ORDER BY list_cosine_similarity(embedding, "
             "(SELECT embedding FROM embeddings WHERE vec_id = 7)) DESC, "
             "vec_id), vec_id FROM embeddings) "
@@ -2001,10 +2035,15 @@ def oracle_sql() -> dict[str, str]:
             "j AS (SELECT p.purchase_id, c.click_id, "
             "date_diff('microsecond', c.ts, p.ts) AS st "
             "FROM p ASOF LEFT JOIN c "
-            "ON p.user_id = c.user_id AND p.ts >= c.ts) "
-            "SELECT purchase_id, COALESCE(click_id, -1) AS click_id, "
-            "CAST(COALESCE(st, -1) AS BIGINT) AS staleness_us "
-            "FROM j ORDER BY purchase_id"),
+            "ON p.user_id = c.user_id AND p.ts >= c.ts), "
+            "r AS (SELECT purchase_id, COALESCE(click_id, -1) "
+            "AS click_id, CAST(COALESCE(st, -1) AS BIGINT) "
+            "AS staleness_us FROM j) "
+            # both Spark paths (per-key window / hot-key bucketed) must
+            # equal the same oracle rows
+            "SELECT 'window' AS path, * FROM r UNION ALL "
+            "SELECT 'bucketed' AS path, * FROM r "
+            "ORDER BY path, purchase_id"),
         "pmi_collocations": (
             "WITH toks AS (SELECT doc_id, list_filter("
             "string_split_regex(lower(text), '[^a-z]+'), t -> t != '') "
