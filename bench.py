@@ -786,6 +786,8 @@ def _main_inner() -> None:
                     "n_keys": d["n_keys"],
                     "finished_at": d["finished_at"],
                 }
+                if d.get("sync_floor"):
+                    cert["sync_floor_binding"] = True
                 break
         except (OSError, ValueError, KeyError):
             continue

@@ -224,6 +224,19 @@ def main() -> int:
                                              time.gmtime()),
                 "levels": {"2": l2, "8": l8},
             }
+            if _SYNC_BASELINES:
+                # record that the barrier-sync floor was BINDING for
+                # this certification (round-5 promotion of the round-4
+                # opt-in counter) and what it compared against
+                result["sync_floor"] = {
+                    "binding": True,
+                    "baselines_krps": {str(k): v for k, v in
+                                       sorted(_SYNC_BASELINES.items())},
+                    "fraction": _SYNC_FRACTION,
+                    "best_build_sync_krps": {
+                        "2": l2.get("sync_krps_during_best_build"),
+                        "8": l8.get("sync_krps_during_best_build")},
+                }
             with open(args.out + (".last" if not ok else ""), "w") as f:
                 json.dump(result, f, indent=1)
             # every attempt accumulates (compact: no per-run arrays) so
