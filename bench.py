@@ -702,9 +702,17 @@ def _main_inner() -> None:
         "scaling": scaling,
     }
     # off-sf smoke runs get their own file: a quick sf0.001 iteration
-    # must not clobber the committed round record (it did once)
-    _suite_name = ("suite_r4.json" if sf_label in ("0.1", "")
-                   else f"suite_r4_sf{sf_label}.json")
+    # must not clobber the committed round record (it did once).  The
+    # round number is CURRENT round = newest driver BENCH_r{N}.json + 1
+    # (a hardcoded name clobbered the committed r4 record once too).
+    import glob
+    import re as _re
+    _rn = 1 + max(
+        (int(_re.search(r"BENCH_r(\d+)\.json$", p).group(1))
+         for p in glob.glob(os.path.join(_REPO, "BENCH_r*.json"))
+         if _re.search(r"BENCH_r(\d+)\.json$", p)), default=0)
+    _suite_name = (f"suite_r{_rn}.json" if sf_label in ("0.1", "")
+                   else f"suite_r{_rn}_sf{sf_label}.json")
     suite_out = os.environ.get(
         "SPARK_GRAFT_SUITE_OUT",
         os.path.join(_REPO, "bench_artifacts", _suite_name))
