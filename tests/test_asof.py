@@ -187,7 +187,7 @@ def test_bucketed_seed_carries_across_empty_buckets(spark):
     assert got == {"late": 20, "early": 10}
 
 
-def test_bucketed_numeric_time_and_tolerance(spark):
+def test_bucketed_numeric_time(spark):
     left = spark.createDataFrame(
         [(1, 100, "a"), (1, 7, "b"), (1, -5, "c")],
         "k long, t long, lv string")
@@ -199,6 +199,23 @@ def test_bucketed_numeric_time_and_tolerance(spark):
                for r in asof_join(left, right, "k", "t", "rt",
                                   bucket=b).collect()}
         assert got == {"a": 900, "b": 60, "c": -90}, f"bucket={b}"
+
+
+def test_bucketed_tolerance_nulls_stale_seed_match(spark):
+    # the only candidate arrives via the cross-bucket seed carry AND is
+    # older than the tolerance: the match must be nulled, exactly as on
+    # the unbucketed path
+    left = spark.createDataFrame(
+        [(1, _ts(45), "stale"), (1, _ts(3), "fresh")],
+        "k long, t timestamp, lv string")
+    right = spark.createDataFrame(
+        [(1, _ts(2), 20)], "k long, rt timestamp, rv long")
+    for b in (None, 60):
+        got = {r["lv"]: r["rv_r"]
+               for r in asof_join(left, right, "k", "t", "rt",
+                                  tolerance=F.expr("INTERVAL 5 MINUTES"),
+                                  bucket=b).collect()}
+        assert got == {"stale": None, "fresh": 20}, f"bucket={b}"
 
 
 def test_bucketed_null_times_and_map_payload(spark):
