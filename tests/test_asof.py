@@ -229,3 +229,43 @@ def test_bucketed_null_times_and_map_payload(spark):
            for r in asof_join(left, right, "k", "t", "rt",
                               bucket=60).collect()}
     assert got == {"a": {"ua": "deny"}, "b": None}
+
+
+def test_property_bucketed_equals_unbucketed_and_python_oracle(spark):
+    """Randomized equivalence: both execution paths against a direct
+    python greatest-lower-bound oracle (hypothesis drives the data; a
+    handful of examples — each is two Spark jobs)."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    rows_l = st.lists(st.tuples(st.integers(0, 3),
+                                st.integers(-50, 50)),
+                      min_size=1, max_size=40)
+    rows_r = st.lists(st.tuples(st.integers(0, 3),
+                                st.integers(-50, 50),
+                                st.integers(0, 9)),
+                      min_size=0, max_size=40)
+
+    @given(ls=rows_l, rs=rows_r, bucket=st.sampled_from([1, 7, 64]))
+    @settings(deadline=None, max_examples=8,
+              suppress_health_check=[HealthCheck.too_slow])
+    def prop(ls, rs, bucket):
+        left = spark.createDataFrame(
+            [(k, t, i) for i, (k, t) in enumerate(ls)],
+            "k long, t long, lid long")
+        right = spark.createDataFrame(rs, "k long, rt long, rv long") \
+            if rs else spark.createDataFrame([], "k long, rt long, rv long")
+
+        def oracle(k, t):
+            cand = [(rt, rv) for (rk, rt, rv) in rs
+                    if rk == k and rt <= t]
+            return max(cand)[1] if cand else None
+
+        exp = {i: oracle(k, t) for i, (k, t) in enumerate(ls)}
+        for b in (None, bucket):
+            got = {r["lid"]: r["rv_r"]
+                   for r in asof_join(left, right, "k", "t", "rt",
+                                      bucket=b).collect()}
+            assert got == exp, f"bucket={b}"
+
+    prop()
