@@ -178,7 +178,10 @@ def pairwise_topk_join(df: DataFrame, queries: DataFrame, k: int = 5,
                        qid_col: str = "q_id", qvec_col: str = "q_vec") -> DataFrame:
     """Batch ANN: top-k corpus neighbors per query row via a broadcast
     cross score inside mapInPandas (queries must be small enough to
-    broadcast — the typical eval-set shape)."""
+    broadcast — the typical eval-set shape).  Scans the WHOLE corpus;
+    on a cell-partitioned table prefer ``IVFIndex.batch_search``, which
+    keeps this exact per-batch scoring shape but prunes the scan to the
+    union of the queries' probe cells first."""
     qrows = queries.select(qid_col, qvec_col).collect()
     qids = np.array([r[0] for r in qrows], dtype=np.int64)
     Q = np.stack([np.asarray(r[1]) for r in qrows]).astype(np.float64)
