@@ -58,29 +58,44 @@ def _q(name: str):
     return F.expr("`" + name.replace("`", "``") + "`")
 
 
-def _bucket_id(dt, tcol: Column, width: float | int) -> Column:
-    """Floor-division time bucket, exact integer arithmetic where the
-    time is integral: ``(t - pmod(t, w)) / w`` is a true floor for
-    negative times too (pmod is non-negative), unlike SQL ``DIV`` which
-    truncates toward zero.  ``width`` is in the column's own units for
-    numeric times, SECONDS for timestamp kinds, DAYS for dates.
-    Timestamp_NTZ uses wall-clock timestampdiff, not a timezone cast
-    (sessions.py:56 precedent — a cast would shift across DST)."""
-    from pyspark.sql.types import (DateType, TimestampNTZType,
-                                   TimestampType)
+def _bucket_id(dt, tname: str, width: float | int) -> Column:
+    """Floor-division time bucket over the column named ``tname``,
+    exact for integral times: ``(t - pmod(t, w)) / w`` through
+    DECIMAL(38,0) is a true floor for negative times too (pmod is
+    non-negative), unlike SQL ``DIV`` which truncates toward zero, and
+    never routes the exactly-divisible difference through float64.
+    ``width`` is in the column's own units for numeric times, SECONDS
+    for timestamp kinds, DAYS for dates.  Timestamp_NTZ uses wall-clock
+    timestampdiff, not a timezone cast (sessions.py:56 precedent — a
+    cast would shift across DST)."""
+    from pyspark.sql.types import (DateType, FractionalType,
+                                   TimestampNTZType, TimestampType)
     if width <= 0:
         raise ValueError("bucket width must be positive")
+    tcol = _q(tname)
     if isinstance(dt, TimestampType):
         n, w = F.unix_micros(tcol), int(round(width * 1_000_000))
     elif isinstance(dt, TimestampNTZType):
         n = F.expr("timestampdiff(MICROSECOND, "
-                   "TIMESTAMP_NTZ'1970-01-01 00:00:00', _ff_t)")
+                   "TIMESTAMP_NTZ'1970-01-01 00:00:00', "
+                   "`" + tname.replace("`", "``") + "`)")
         w = int(round(width * 1_000_000))
     elif isinstance(dt, DateType):
         n, w = F.unix_date(tcol), width
     else:
         n, w = tcol, width
-    return ((n - F.pmod(n, F.lit(w))) / F.lit(w)).cast("long")
+    if isinstance(w, int) and w < 1:
+        # a sub-unit width rounds to 0 after conversion: pmod(n, 0)
+        # would NULL every bucket (or raise under ANSI), silently
+        # collapsing the window back to one partition per key
+        raise ValueError(
+            f"bucket width {width!r} is below the column's resolution "
+            f"(converts to {w} base units); use a width >= 1 unit")
+    if isinstance(dt, FractionalType) or not isinstance(w, int):
+        # float time or fractional width: float floor is the semantics
+        return F.floor(n / F.lit(w)).cast("long")
+    base = (n - F.pmod(n, F.lit(w))).cast("decimal(38,0)")
+    return (base / F.lit(w)).cast("long")
 
 
 def asof_join(left: DataFrame, right: DataFrame, on: str,
@@ -110,7 +125,11 @@ def asof_join(left: DataFrame, right: DataFrame, on: str,
     level summary window (one row per (key, occupied bucket)) carries
     each bucket's newest right payload into the NEXT bucket as a seed
     row, then the main window runs within ``(key, bucket)`` partitions.
-    Results are identical to the unbucketed path (same tie-breaks).
+    Results are identical to the unbucketed path (same tie-breaks) —
+    except when the payload contains a non-orderable (map) column, where
+    BOTH paths already resolve duplicate-(key, time) right rows
+    arbitrarily (see the tie-break note below) and the two paths may
+    pick different arbitrary winners.
     ``bucket`` is a width: in the time column's own units for numeric
     times, in SECONDS for timestamp/timestamp_ntz columns.  Pick it so
     a hot key's densest bucket still fits one task — e.g. hourly
@@ -196,7 +215,7 @@ def asof_join(left: DataFrame, right: DataFrame, on: str,
     else:
         unioned = unioned.withColumn(
             "_ff_bkt", _bucket_id(unioned.schema["_ff_t"].dataType,
-                                  F.col("_ff_t"), bucket))
+                                  "_ff_t", bucket))
         # bucket-level carry: one summary row per (key, right-occupied
         # bucket) — the newest right (time, payload) struct in that
         # bucket — then a window over the OCCUPIED buckets (left or

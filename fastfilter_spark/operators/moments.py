@@ -53,9 +53,10 @@ def ams_f2_counters(df: DataFrame, key_col: str, width: int = 256,
     per key instead of 5.  The digest is physically named in its own
     projection, so the cost model does not depend on codegen
     subexpression elimination.  Distinct md5 output bits are
-    independent, so bucket/sign within and across rows are too; the
-    bucket is exactly uniform whenever width divides 2^15 and has
-    relative bias <= width/2^15 otherwise.
+    independent, so bucket/sign within and across rows are too; width
+    is required to divide 2^15 (i.e. a power of two) so the bucket is
+    EXACTLY uniform — a non-dividing width would bias buckets and
+    silently break the sqrt(2/width) error contract.
 
     Plan shape: a first projection computes the digest(s) per key (JVM
     codegen), a second slices fields and ``explode`` fans them out, and
@@ -65,8 +66,13 @@ def ams_f2_counters(df: DataFrame, key_col: str, width: int = 256,
     """
     if width < 2 or depth < 1:
         raise ValueError("need width >= 2, depth >= 1")
-    if width > 32768:
-        raise ValueError("width > 2^15 exceeds the per-row bucket field")
+    if width > 32768 or 32768 % width:
+        # the bucket draws from a 15-bit field; a width that does not
+        # divide 2^15 would bias buckets by up to width/2^15 and
+        # silently break the sqrt(2/width) error contract — reject it
+        # loudly (powers of two up to 2^15 are exactly uniform)
+        raise ValueError("width must be a power of two <= 32768 "
+                         "(the 15-bit bucket field must split evenly)")
     k = F.col(key_col).cast("string")
     ndig = (depth + 7) // 8
     digests = [

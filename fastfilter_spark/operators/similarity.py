@@ -156,7 +156,12 @@ class IVFIndex:
                 sims = np.where(allowed, sims, -np.inf)
                 ids = pdf[id_col].to_numpy()
                 kk = min(k, sims.shape[1])
-                top = np.argpartition(-sims, kk - 1, axis=1)[:, :kk]
+                # per-row lexsort (cosine desc, id asc), NOT
+                # argpartition: ties at the kk-th boundary must resolve
+                # exactly as the final window and the per-query path do,
+                # or a tied id could be dropped here and never recovered
+                ids_b = np.broadcast_to(ids, sims.shape)
+                top = np.lexsort((ids_b, -sims), axis=1)[:, :kk]
                 best = np.take_along_axis(sims, top, axis=1)
                 keep = np.isfinite(best).ravel()
                 yield pd.DataFrame({
@@ -196,7 +201,10 @@ def pairwise_topk_join(df: DataFrame, queries: DataFrame, k: int = 5,
             sims = Q @ M.T                      # (nq, batch)
             ids = pdf[id_col].to_numpy()
             kk = min(k, sims.shape[1])
-            top = np.argpartition(-sims, kk - 1, axis=1)[:, :kk]
+            # (cosine desc, id asc) like the final window — a tie at
+            # the kk-th boundary must not drop the lower id here
+            top = np.lexsort((np.broadcast_to(ids, sims.shape), -sims),
+                             axis=1)[:, :kk]
             out = pd.DataFrame({
                 qid_col: np.repeat(qids, kk),
                 id_col: ids[top].ravel(),

@@ -269,3 +269,26 @@ def test_property_bucketed_equals_unbucketed_and_python_oracle(spark):
             assert got == exp, f"bucket={b}"
 
     prop()
+
+
+def test_bucket_width_validation(sides):
+    left, right = sides
+    with pytest.raises(ValueError, match="positive"):
+        asof_join(left, right, "k", "t", "rt", bucket=0)
+    # sub-microsecond width on a timestamp column converts to 0 base
+    # units and must be rejected, not silently collapse the window
+    with pytest.raises(ValueError, match="resolution"):
+        asof_join(left, right, "k", "t", "rt", bucket=1e-7)
+
+
+def test_bucket_id_exact_past_float53(spark):
+    # numeric times beyond 2^53: the float path would round bucket
+    # boundaries; the decimal path must floor exactly
+    from fastfilter_spark.operators.asof import _bucket_id
+    from pyspark.sql.types import LongType
+    w = 3_600_000_000_000
+    vals = [2**60 - 1, 2**60, 2**60 + 1, -(2**60), -(2**60) + 1]
+    df = spark.createDataFrame([(v,) for v in vals], "t long")
+    got = [r[0] for r in
+           df.select(_bucket_id(LongType(), "t", w)).collect()]
+    assert got == [v // w for v in vals]

@@ -144,3 +144,11 @@ def test_ams_f2_empty_and_null_inputs(spark):
     just_a = spark.createDataFrame([("a",)], "key string")
     assert (ams_f2(nulls, "key", 16, 3).collect()
             == ams_f2(just_a, "key", 16, 3).collect())
+
+
+def test_ams_f2_rejects_biased_width(spark):
+    df = spark.createDataFrame([("a",)], "key string")
+    import pytest
+    for bad in (20000, 100, 3, 65536):
+        with pytest.raises(ValueError, match="power of two"):
+            ams_f2_counters(df, "key", width=bad)
